@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvldm_tpu.ops.attention import NEG_INF, attention, flash_attention, mha_reference
+
+
+def make_qkv(key, b=2, h=4, lq=64, lk=64, d=64, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, lq, d), dtype=dtype)
+    k = jax.random.normal(k2, (b, h, lk, d), dtype=dtype)
+    v = jax.random.normal(k3, (b, h, lk, d), dtype=dtype)
+    return q, k, v
+
+
+class TestReferenceAttention:
+    def test_matches_torch_sdpa(self):
+        """Ground-truth check against torch's scaled_dot_product_attention —
+        the exact op the reference uses (transformer/attention.py:96)."""
+        import torch
+
+        q, k, v = make_qkv(jax.random.PRNGKey(0))
+        out = mha_reference(q, k, v)
+        tq, tk, tv = (torch.from_numpy(np.asarray(x)) for x in (q, k, v))
+        expected = torch.nn.functional.scaled_dot_product_attention(tq, tk, tv)
+        np.testing.assert_allclose(
+            np.asarray(out), expected.numpy(), atol=2e-5, rtol=2e-5
+        )
+
+    def test_key_bias_masks_keys(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(1), lk=32)
+        bias = jnp.zeros((2, 32)).at[:, 16:].set(NEG_INF)
+        out = mha_reference(q, k, v, bias)
+        expected = mha_reference(q, k[:, :, :16], v[:, :, :16])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("lq,lk", [(64, 64), (128, 256), (100, 300), (1024, 1024)])
+    def test_matches_reference(self, lq, lk):
+        q, k, v = make_qkv(jax.random.PRNGKey(2), lq=lq, lk=lk)
+        out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+        expected = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    def test_with_bias(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(3), lq=128, lk=192)
+        bias = jnp.where(
+            jax.random.bernoulli(jax.random.PRNGKey(4), 0.3, (2, 192)), NEG_INF, 0.0
+        ).astype(jnp.float32)
+        out = flash_attention(q, k, v, bias, interpret=True, block_q=128, block_k=128)
+        expected = mha_reference(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    def test_bfloat16(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(5), lq=256, lk=256, dtype=jnp.bfloat16)
+        out = flash_attention(q, k, v, interpret=True)
+        expected = mha_reference(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(expected, dtype=np.float32),
+            atol=3e-2,
+        )
+
+
+class TestAttentionDispatcher:
+    def test_forward_cpu_path(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(6))
+        out = attention(q, k, v)
+        expected = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+
+    def test_gradients_match_jnp_autodiff(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(7), b=1, h=2, lq=16, lk=16, d=8)
+
+        def loss_custom(q, k, v):
+            return jnp.sum(attention(q, k, v) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v) ** 2)
+
+        g_custom = jax.grad(loss_custom, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gc, gr in zip(g_custom, g_ref):
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gr), atol=1e-5)
+
+    def test_gradients_with_bias(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(8), b=2, h=2, lq=8, lk=12, d=8)
+        bias = jnp.zeros((2, 12)).at[:, 8:].set(NEG_INF)
+
+        def loss_custom(q, k, v):
+            return jnp.sum(attention(q, k, v, bias) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, bias) ** 2)
+
+        g_custom = jax.grad(loss_custom, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gc, gr in zip(g_custom, g_ref):
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gr), atol=1e-5)
