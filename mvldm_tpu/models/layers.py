@@ -1,0 +1,278 @@
+"""Shared Flax building blocks for the VAE and UNet.
+
+These re-create, TPU-first (NHWC layout, bf16-friendly compute with fp32
+normalization statistics), the diffusers building blocks the reference model
+is assembled from (``UNet2DConditionModel`` / ``AutoencoderKL``, loaded at
+reference ``src/model/denoiser/mvunet.py:54-72`` and
+``src/model/autoencoder/__init__.py:35-43``):
+
+* :class:`ResnetBlock` — GroupNorm/SiLU/3x3-conv residual block with optional
+  time-embedding injection.
+* :class:`Downsample` / :class:`Upsample` — stride-2 conv / nearest-2x + conv.
+* :class:`TransformerBlock2D` — SD-style spatial transformer (self-attn,
+  text-cross-attn, GEGLU FF) over (h*w) tokens.
+* :class:`AttnBlockVAE` — the single-head spatial attention in the VAE mid
+  block.
+* :func:`timestep_embedding` — sinusoidal timestep features.
+
+All modules run in NHWC; weight conversion from torch checkpoints transposes
+OIHW -> HWIO (see ``utils/weight_convert.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.attention import attention
+
+
+def timestep_embedding(
+    timesteps: Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> Array:
+    """Sinusoidal timestep features (diffusers ``Timesteps`` semantics with the
+    SD2.1 UNet settings: flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    half_dim = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(dtype)
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm -> SiLU -> Conv3x3 (x2) with residual; optional time emb."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+        in_channels = x.shape[-1]
+        residual = x
+
+        h = GroupNorm(self.groups, self.eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        )(h)
+
+        if self.use_time_emb:
+            assert temb is not None
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+
+        h = GroupNorm(self.groups, self.eps, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )(h)
+
+        if in_channels != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return residual + h
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    asymmetric_padding: bool = False  # VAE encoder pads (0,1,0,1)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.asymmetric_padding:
+            pad = ((0, 0), (0, 1), (0, 1), (0, 0))
+            x = jnp.pad(x, pad)
+            padding = "VALID"
+        else:
+            padding = 1
+        return nn.Conv(
+            self.out_channels,
+            (3, 3),
+            strides=(2, 2),
+            padding=padding,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with separate q and kv inputs (kv may be None for
+    self-attention). Projections have no bias, output does — SD convention."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        context: Optional[Array] = None,
+        key_bias: Optional[Array] = None,
+    ) -> Array:
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, lk, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lk, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        out = attention(q, k, v, bias=key_bias)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (reference ``mvdream/attention.py:70-87`` with
+    glu=True, mult=4 — also the SD UNet FF)."""
+
+    dim_out: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inner = int(x.shape[-1] * self.mult)
+        h = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="net_2")(h)
+
+
+class TransformerBlock2D(nn.Module):
+    """SD BasicTransformerBlock: self-attn, cross-attn (text), GEGLU FF."""
+
+    num_heads: int
+    head_dim: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, dim, dtype=self.dtype, name="attn1"
+        )(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, dim, dtype=self.dtype, name="attn2"
+        )(h, context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        x = x + FeedForward(dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """SD spatial transformer: GroupNorm, linear proj_in, transformer blocks
+    over (h*w) tokens, linear proj_out, residual. SD2.1 uses linear (not conv)
+    projections (``use_linear_projection=True``)."""
+
+    num_heads: int
+    head_dim: int
+    context_dim: int
+    depth: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        hidden = GroupNorm(self.groups, 1e-6, name="norm")(x)
+        hidden = hidden.reshape(b, h * w, c)
+        hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
+        for i in range(self.depth):
+            hidden = TransformerBlock2D(
+                self.num_heads,
+                self.head_dim,
+                self.context_dim,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(hidden, context)
+        hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+        return hidden.reshape(b, h, w, c) + residual
+
+
+class AttnBlockVAE(nn.Module):
+    """Single-head spatial self-attention in the VAE mid block."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        hidden = GroupNorm(32, 1e-6, name="group_norm")(x).reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(hidden)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(hidden)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(hidden)
+        out = attention(q[:, None], k[:, None], v[:, None])[:, 0]
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return out.reshape(b, h, w, c) + residual
