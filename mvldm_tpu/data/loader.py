@@ -1,0 +1,162 @@
+"""Host-side batching + device prefetch.
+
+Replaces the reference's torch ``DataModule``/``DataLoader`` stack
+(``src/dataset/data_module.py:58-140``; 16 worker processes per rank) with a
+TPU-idiomatic single-process pipeline: a background thread iterates the
+dataset, collates fixed-shape numpy batches, and keeps a bounded queue ahead
+of the accelerator. With JAX, per-host data is fed to a sharded train step
+directly (no per-rank worker processes needed).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .dataset_re10k import DatasetRE10k, DatasetRE10kCfg
+from .types import Example, Stage
+from .view_samplers import StepTracker, get_view_sampler
+
+
+@dataclass
+class DataLoaderStageCfg:
+    """Reference ``data_module.py:33-40`` (num_workers/persistent_workers are
+    kept for config-surface parity; prefetch is thread-based here)."""
+
+    num_workers: int = 16
+    persistent_workers: bool = True
+    batch_size: int = 6
+    seed: Optional[int] = None
+
+
+@dataclass
+class DataLoaderCfg:
+    """Reference ``data_module.py:43-47``."""
+
+    train: DataLoaderStageCfg = field(default_factory=DataLoaderStageCfg)
+    test: DataLoaderStageCfg = field(
+        default_factory=lambda: DataLoaderStageCfg(
+            persistent_workers=False, batch_size=1, seed=0
+        )
+    )
+    val: DataLoaderStageCfg = field(
+        default_factory=lambda: DataLoaderStageCfg(
+            persistent_workers=False, batch_size=8, seed=0
+        )
+    )
+
+
+def collate(examples: List[Example]) -> Dict[str, Any]:
+    """Stack examples into the reference's batch dict layout
+    (``BatchedExample``), NHWC."""
+
+    def stack_views(views):
+        return {
+            "image": np.stack([v.image for v in views]),
+            "extrinsics": np.stack([v.extrinsics for v in views]),
+            "intrinsics": np.stack([v.intrinsics for v in views]),
+            "near": np.stack([v.near for v in views]),
+            "far": np.stack([v.far for v in views]),
+            "index": np.stack([v.index for v in views]),
+        }
+
+    batch = {
+        "context": stack_views([e.context for e in examples]),
+        "scene": [e.scene for e in examples],
+    }
+    if examples[0].target is not None:
+        batch["target"] = stack_views([e.target for e in examples])
+    return batch
+
+
+class PrefetchIterator:
+    """Wraps an iterator with a bounded background-thread prefetch queue."""
+
+    _SENTINEL = object()
+
+    def __init__(self, source: Iterator, depth: int = 2):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(
+            target=self._worker, args=(source,), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, source):
+        try:
+            for item in source:
+                self._queue.put(item)
+        except Exception as e:  # surface worker errors to the consumer
+            self._queue.put(e)
+        finally:
+            self._queue.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._SENTINEL:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+
+class DataModule:
+    """Builds per-stage batched iterators (reference ``DataModule:58-140``)."""
+
+    def __init__(
+        self,
+        dataset_cfg: DatasetRE10kCfg,
+        view_sampler_cfg,
+        data_loader_cfg: DataLoaderCfg,
+        step_tracker: Optional[StepTracker] = None,
+    ):
+        self.dataset_cfg = dataset_cfg
+        self.view_sampler_cfg = view_sampler_cfg
+        self.data_loader_cfg = data_loader_cfg
+        self.step_tracker = step_tracker
+
+    def _dataset(self, stage: Stage, seed: Optional[int]) -> DatasetRE10k:
+        rng = np.random.default_rng(seed)
+        sampler = get_view_sampler(
+            self.view_sampler_cfg,
+            stage,
+            self.dataset_cfg.overfit_to_scene is not None,
+            self.dataset_cfg.cameras_are_circular,
+            self.step_tracker,
+            rng=rng,
+        )
+        return DatasetRE10k(self.dataset_cfg, stage, sampler, rng=rng)
+
+    def _batches(
+        self, stage: Stage, cfg: DataLoaderStageCfg, repeat: bool
+    ) -> Iterator[Dict[str, Any]]:
+        while True:
+            dataset = self._dataset(stage, cfg.seed)
+            buf: List[Example] = []
+            for example in dataset:
+                buf.append(example)
+                if len(buf) == cfg.batch_size:
+                    yield collate(buf)
+                    buf = []
+            if buf and not repeat:
+                yield collate(buf)
+            if not repeat:
+                return
+
+    def train_dataloader(self) -> Iterator[Dict[str, Any]]:
+        cfg = self.data_loader_cfg.train
+        return PrefetchIterator(self._batches("train", cfg, repeat=True))
+
+    def val_dataloader(self) -> Iterator[Dict[str, Any]]:
+        cfg = self.data_loader_cfg.val
+        return PrefetchIterator(self._batches("val", cfg, repeat=False))
+
+    def test_dataloader(self) -> Iterator[Dict[str, Any]]:
+        cfg = self.data_loader_cfg.test
+        return PrefetchIterator(self._batches("test", cfg, repeat=False))

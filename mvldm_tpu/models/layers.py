@@ -187,7 +187,8 @@ class GEGLU(nn.Module):
     def __call__(self, x: Array) -> Array:
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # Exact (erf) gelu to match torch F.gelu default used by the reference.
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -263,13 +264,14 @@ class Transformer2D(nn.Module):
 class AttnBlockVAE(nn.Module):
     """Single-head spatial self-attention in the VAE mid block."""
 
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
         residual = x
-        hidden = GroupNorm(32, 1e-6, name="group_norm")(x).reshape(b, h * w, c)
+        hidden = GroupNorm(self.groups, 1e-6, name="group_norm")(x).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(hidden)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(hidden)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(hidden)

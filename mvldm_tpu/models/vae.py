@@ -107,14 +107,16 @@ class Encoder(nn.Module):
                 )(h)
 
         h = ResnetBlock(
-            h.shape[-1], use_time_emb=False, eps=1e-6, dtype=self.dtype,
-            name="mid_res_0",
+            h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
+            eps=1e-6, dtype=self.dtype, name="mid_res_0",
         )(h)
         if cfg.mid_block_add_attention:
-            h = AttnBlockVAE(dtype=self.dtype, name="mid_attn")(h)
+            h = AttnBlockVAE(
+                groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn"
+            )(h)
         h = ResnetBlock(
-            h.shape[-1], use_time_emb=False, eps=1e-6, dtype=self.dtype,
-            name="mid_res_1",
+            h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
+            eps=1e-6, dtype=self.dtype, name="mid_res_1",
         )(h)
 
         h = GroupNorm(cfg.norm_num_groups, 1e-6, name="conv_norm_out")(h)
@@ -139,14 +141,16 @@ class Decoder(nn.Module):
         )(z)
 
         h = ResnetBlock(
-            h.shape[-1], use_time_emb=False, eps=1e-6, dtype=self.dtype,
-            name="mid_res_0",
+            h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
+            eps=1e-6, dtype=self.dtype, name="mid_res_0",
         )(h)
         if cfg.mid_block_add_attention:
-            h = AttnBlockVAE(dtype=self.dtype, name="mid_attn")(h)
+            h = AttnBlockVAE(
+                groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn"
+            )(h)
         h = ResnetBlock(
-            h.shape[-1], use_time_emb=False, eps=1e-6, dtype=self.dtype,
-            name="mid_res_1",
+            h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
+            eps=1e-6, dtype=self.dtype, name="mid_res_1",
         )(h)
 
         for i, out_ch in enumerate(reversed_channels):

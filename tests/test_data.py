@@ -1,0 +1,176 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mvldm_tpu.data.dataset_re10k import DatasetRE10k, DatasetRE10kCfg
+from mvldm_tpu.data.loader import DataLoaderCfg, DataLoaderStageCfg, DataModule, collate
+from mvldm_tpu.data.shims import center_crop, rescale_and_crop
+from mvldm_tpu.data.view_samplers import (
+    StepTracker,
+    ViewSamplerBounded,
+    ViewSamplerBoundedCfg,
+    ViewSamplerEvaluation,
+    ViewSamplerEvaluationCfg,
+    get_view_sampler,
+)
+from synthetic_data import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("re10k")
+    return write_synthetic_dataset(root, frames_per_scene=30)
+
+
+def bounded_cfg(**kw):
+    defaults = dict(
+        num_context_views=2,
+        num_target_views=3,
+        min_distance_between_context_views=5,
+        max_distance_between_context_views=15,
+    )
+    defaults.update(kw)
+    return ViewSamplerBoundedCfg(**defaults)
+
+
+class TestViewSamplerBounded:
+    def test_train_gap_bounds(self):
+        sampler = ViewSamplerBounded(
+            bounded_cfg(), "train", False, False, None,
+            rng=np.random.default_rng(0),
+        )
+        for _ in range(50):
+            [idx] = sampler.sample("s", 30)
+            gap = int(idx.context[1] - idx.context[0])
+            assert 5 <= gap <= 15
+            assert idx.target.shape == (3,)
+            assert len(set(idx.target.tolist())) == 3  # without replacement
+            assert idx.target.min() >= 0 and idx.target.max() < 30
+
+    def test_test_stage_full_gap_all_targets(self):
+        sampler = ViewSamplerBounded(
+            bounded_cfg(), "test", False, False, None,
+            rng=np.random.default_rng(0),
+        )
+        [idx] = sampler.sample("s", 30)
+        assert idx.context[0] == 0
+        assert int(idx.context[1]) == 15
+        np.testing.assert_array_equal(idx.target, np.arange(0, 16))
+
+    def test_warmup_schedule(self):
+        tracker = StepTracker(0)
+        cfg = bounded_cfg(
+            num_target_views=2,
+            context_gap_warm_up_steps=100,
+            initial_min_distance_between_context_views=1,
+            initial_max_distance_between_context_views=2,
+        )
+        sampler = ViewSamplerBounded(
+            cfg, "train", False, False, tracker, rng=np.random.default_rng(0)
+        )
+        gaps_early = [
+            int(np.diff(sampler.sample("s", 30)[0].context)[0]) for _ in range(30)
+        ]
+        assert max(gaps_early) <= 2
+        tracker.set_step(1000)
+        gaps_late = [
+            int(np.diff(sampler.sample("s", 30)[0].context)[0]) for _ in range(30)
+        ]
+        assert max(gaps_late) > 2
+
+    def test_not_enough_frames_raises(self):
+        cfg = bounded_cfg(
+            min_distance_between_context_views=50,
+            max_distance_between_context_views=50,
+        )
+        sampler = ViewSamplerBounded(cfg, "train", False, False, None)
+        with pytest.raises(ValueError):
+            sampler.sample("s", 30)
+
+
+class TestViewSamplerEvaluation:
+    def test_reads_index(self, tmp_path):
+        index = {
+            "sceneA": {"context": [0], "target": [1, 2, 3]},
+            "sceneB": None,
+        }
+        path = tmp_path / "idx.json"
+        path.write_text(json.dumps(index))
+        sampler = ViewSamplerEvaluation(
+            ViewSamplerEvaluationCfg(index_path=path), "test", False, False, None
+        )
+        assert sampler.total_samples == 1
+        [idx] = sampler.sample("sceneA", 100)
+        np.testing.assert_array_equal(idx.context, [0])
+        np.testing.assert_array_equal(idx.target, [1, 2, 3])
+        with pytest.raises(ValueError):
+            sampler.sample("sceneB", 100)
+
+
+class TestCropShim:
+    def test_center_crop_intrinsics(self):
+        images = np.zeros((2, 360, 640, 3), dtype=np.float32)
+        intr = np.repeat(np.eye(3, dtype=np.float32)[None], 2, axis=0)
+        intr[:, 0, 0] = 0.9
+        intr[:, 1, 1] = 1.6
+        cropped, new_intr = center_crop(images, intr, (360, 360))
+        assert cropped.shape == (2, 360, 360, 3)
+        np.testing.assert_allclose(new_intr[:, 0, 0], 0.9 * 640 / 360, rtol=1e-6)
+        np.testing.assert_allclose(new_intr[:, 1, 1], 1.6, rtol=1e-6)
+
+    def test_rescale_and_crop_to_256(self):
+        rng = np.random.default_rng(0)
+        images = rng.uniform(size=(1, 360, 640, 3)).astype(np.float32)
+        intr = np.repeat(np.eye(3, dtype=np.float32)[None], 1, axis=0)
+        out, new_intr = rescale_and_crop(images, intr, (256, 256))
+        assert out.shape == (1, 256, 256, 3)
+        # Scale factor 256/360; scaled w = 455 -> crop updates fx by 455/256.
+        np.testing.assert_allclose(new_intr[0, 0, 0], 455 / 256, rtol=1e-6)
+
+
+class TestDatasetRE10k:
+    def test_iterates_examples(self, data_root):
+        cfg = DatasetRE10kCfg(root=data_root)
+        sampler = ViewSamplerBounded(
+            bounded_cfg(), "train", False, False, None,
+            rng=np.random.default_rng(0),
+        )
+        ds = DatasetRE10k(cfg, "train", sampler, rng=np.random.default_rng(0))
+        examples = [next(iter(ds))]
+        ex = examples[0]
+        assert ex.context.image.shape == (2, 256, 256, 3)
+        assert ex.target.image.shape == (3, 256, 256, 3)
+        assert ex.context.extrinsics.shape == (2, 4, 4)
+        # World rescaled so context baseline is 1.
+        a, b = ex.context.extrinsics[:, :3, 3]
+        np.testing.assert_allclose(np.linalg.norm(a - b), 1.0, rtol=1e-5)
+        # near/far scaled by the same factor.
+        assert ex.context.near[0] != 0.1
+
+    def test_overfit_to_scene(self, data_root):
+        cfg = DatasetRE10kCfg(
+            root=data_root, overfit_to_scene=["scenetest0001"]
+        )
+        sampler = ViewSamplerBounded(
+            bounded_cfg(), "test", True, False, None,
+            rng=np.random.default_rng(0),
+        )
+        ds = DatasetRE10k(cfg, "test", sampler, rng=np.random.default_rng(0))
+        ex = next(iter(ds))
+        assert ex.scene == "scenetest0001"
+
+
+class TestDataModule:
+    def test_train_batches(self, data_root):
+        dm = DataModule(
+            DatasetRE10kCfg(root=data_root),
+            bounded_cfg(),
+            DataLoaderCfg(train=DataLoaderStageCfg(batch_size=2, seed=0)),
+        )
+        it = dm.train_dataloader()
+        batch = next(iter(it))
+        assert batch["context"]["image"].shape == (2, 2, 256, 256, 3)
+        assert batch["target"]["image"].shape == (2, 3, 256, 256, 3)
+        assert len(batch["scene"]) == 2
