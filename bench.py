@@ -1,0 +1,125 @@
+"""Headline benchmark: RE10K anchored video sampling throughput.
+
+Measures generated frames/sec/chip for the BASELINE.json headline workload —
+25-step DDIM anchored sampling of an 80-frame scene (4 anchors from one
+context view, then fills in groups of 3 conditioned on [context, anchor]) —
+on the flagship SD2.1-scale multi-view UNet in bf16, end to end: ray
+encoding, batched-CFG UNet denoising under lax.scan, VAE decode.
+
+Weights are random (no checkpoint is downloadable in this environment);
+throughput is weight-independent.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.json
+``published == {}``). The comparison point is an estimated A100 reference
+throughput of 5.0 frames/s, derived from FLOP counting: ~8.7 TF/frame
+(25 steps x ~(5+3) view-forwards per 3-frame group x ~0.13 TF per UNet
+view-forward at 32x32 latents, CFG included) against ~110 TF/s of realistic
+A100 fp16 throughput, derated ~40% for the reference's sequential CFG
+forwards and per-step Python/launch overhead. The BASELINE target is 2x
+A100, i.e. vs_baseline >= 2.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_FPS = 5.0  # estimated; see module docstring
+
+NUM_FRAMES = 80
+NUM_STEPS = 25
+IMAGE_HW = 256
+
+
+def build_flagship():
+    from mvldm_tpu.diffusion.engine import DiffusionEngine, ModelCfg, unet_in_channels
+    from mvldm_tpu.diffusion.schedulers import DDIMScheduler, DDIMSchedulerKwargs
+    from mvldm_tpu.models.mv_attention import SpatialTransformer3DCfg
+    from mvldm_tpu.models.unet import MultiViewUNet, MultiViewUNetCfg
+    from mvldm_tpu.models.vae import AutoencoderCfg, AutoencoderKL, AutoencoderKLCfg
+
+    model_cfg = ModelCfg(
+        denoiser=MultiViewUNetCfg(
+            multi_view_attention=SpatialTransformer3DCfg(num_heads=8)
+        ),
+        autoencoder=AutoencoderCfg(kwargs=AutoencoderKLCfg()),
+        use_cfg=True,
+        cfg_scale=3.0,
+        use_ray_encoding=False,  # live baseline: raw 3+3 ray channels
+    )
+    in_ch = unet_in_channels(model_cfg)
+    assert in_ch == 11
+    dtype = jnp.bfloat16
+    unet = MultiViewUNet(model_cfg.denoiser, in_channels=in_ch, out_channels=4,
+                         dtype=dtype)
+    vae = AutoencoderKL(model_cfg.autoencoder.kwargs, dtype=dtype)
+    scheduler = DDIMScheduler.create(
+        DDIMSchedulerKwargs(clip_sample=False, prediction_type="epsilon"),
+        num_inference_steps=NUM_STEPS,
+    )
+    engine = DiffusionEngine(model_cfg, unet, vae, scheduler, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 2, 32, 32, in_ch), dtype)
+    t = jnp.zeros((1, 2), jnp.int32)
+    unet_params = unet.init(rng, x, t)["params"]
+    img = jnp.zeros((1, IMAGE_HW, IMAGE_HW, 3), dtype)
+    vae_params = vae.init(rng, img, rng)["params"]
+    return engine, unet_params, vae_params
+
+
+def make_scene(n_frames: int):
+    from mvldm_tpu.diffusion.video_sampling import SceneViews
+
+    rng = np.random.default_rng(0)
+    n = n_frames + 1
+    images = rng.uniform(size=(n, IMAGE_HW, IMAGE_HW, 3)).astype(np.float32)
+    extr = np.repeat(np.eye(4, dtype=np.float32)[None], n, axis=0)
+    extr[:, 0, 3] = np.linspace(0, 2, n)
+    extr[:, 2, 3] = np.linspace(0, 0.5, n)
+    intr = np.repeat(np.eye(3, dtype=np.float32)[None], n, axis=0)
+    intr[:, 0, 0] = 0.9
+    intr[:, 1, 1] = 1.6
+    intr[:, 0, 2] = intr[:, 1, 2] = 0.5
+    ctx = SceneViews(images[:1], extr[:1], intr[:1], np.arange(1))
+    tgt = SceneViews(images[1:], extr[1:], intr[1:], np.arange(1, n))
+    return ctx, tgt
+
+
+def main() -> None:
+    from mvldm_tpu.diffusion.video_sampling import VideoSampler
+
+    engine, unet_params, vae_params = build_flagship()
+    sampler = VideoSampler(engine, unet_params, vae_params, num_anchors_views=4)
+
+    # Warm-up: compile both shape buckets on a short scene.
+    ctx_w, tgt_w = make_scene(7)
+    sampler.sample_anchored(ctx_w, tgt_w, jax.random.PRNGKey(1))
+
+    ctx, tgt = make_scene(NUM_FRAMES)
+    t0 = time.perf_counter()
+    results = sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    assert len(results) == NUM_FRAMES
+
+    fps = NUM_FRAMES / dt
+    print(
+        json.dumps(
+            {
+                "metric": "anchored_sampling_frames_per_sec_per_chip",
+                "value": round(fps, 4),
+                "unit": "frames/s (80-frame RE10K-format scene, 25-step DDIM, CFG 3.0, bf16)",
+                "vs_baseline": round(fps / A100_REFERENCE_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,7 @@ def unet_in_channels(cfg: ModelCfg) -> int:
     return latent + ray_channel_count(cfg) + 1
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class Batch:
     """A flattened multi-view batch: all views concatenated (context first),

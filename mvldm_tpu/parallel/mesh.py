@@ -1,0 +1,47 @@
+"""Device-mesh construction and sharding rules.
+
+The TPU-native replacement for the reference's distributed layer (Lightning
+DDP + NCCL, reference ``src/config.py:30``, ``src/main.py:133``; see
+SURVEY.md §2.4): a ``jax.sharding.Mesh`` over ICI with a ``data`` axis, batch
+arrays sharded along it, parameters replicated. Gradient reduction is the
+XLA-inserted ``psum`` from jit-compiling a data-sharded loss — the NCCL
+all-reduce equivalent, riding ICI.
+
+A ``model`` axis is provisioned for tensor-parallel extensions (sharding the
+cross-view attention over views/heads) but the reference requires only DP for
+parity. Multi-host: each process feeds its host-local shard of the batch;
+DCN handles cross-host collectives automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_model
+    assert num_data * num_model == len(devices), (
+        f"mesh {num_data}x{num_model} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(num_data, num_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,246 @@
+"""Train / validate / test entry point.
+
+CLI surface mirrors the reference (``src/main.py:34-149``):
+
+    python -m mvldm_tpu.scripts.main +experiment=baseline mode=train \\
+        dataset.root=<path> output_dir=outputs/run1
+
+Modes: ``train`` (sharded train loop with auto-resume), ``val`` (one
+validation sampling round, comparison grids written to disk), ``test``
+(video sampling over the evaluation index, anchored/autoregressive, with
+skip-existing idempotency and GIF/MP4 export — reference
+``test_step:1057`` + ``on_test_end:1069``)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..builder import build_engine, load_pretrained
+from ..config import RootCfg, compose, load_typed_root_config, set_cfg
+from ..data.loader import DataModule
+from ..data.view_samplers import StepTracker
+from ..diffusion.video_sampling import SceneViews, VideoSampler
+from ..parallel.mesh import make_mesh
+from ..training.checkpoint import CheckpointManager
+from ..training.optim import build_lr_schedule, build_optimizer
+from ..training.trainer import Trainer, TrainState
+from ..utils.image_io import load_image, save_gif, save_image, save_video
+from ..visualization import add_label, hcat, vcat
+
+
+def build_data_module(cfg: RootCfg, step_tracker: StepTracker) -> DataModule:
+    return DataModule(
+        cfg.dataset, cfg.dataset.view_sampler, cfg.data_loader, step_tracker
+    )
+
+
+def scene_views_from_batch(batch_np, role: str, i: int = 0) -> SceneViews:
+    views = batch_np[role]
+    return SceneViews(
+        images=np.asarray(views["image"][i]),
+        extrinsics=np.asarray(views["extrinsics"][i]),
+        intrinsics=np.asarray(views["intrinsics"][i]),
+        index=np.asarray(views["index"][i]),
+    )
+
+
+def run_train(cfg: RootCfg) -> None:
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+    engine = build_engine(cfg)
+    unet_params, vae_params = load_pretrained(cfg, engine, rng)
+
+    step_tracker = StepTracker(cfg.train.step_offset)
+    dm = build_data_module(cfg, step_tracker)
+
+    base_lr = cfg.optimizer.lr
+    if cfg.optimizer.scale_lr:
+        # Effective-batch LR scaling (reference diffusion_wrapper.py:156-167).
+        eff = (
+            cfg.trainer.accumulate_grad_batches
+            * jax.device_count()
+            * cfg.data_loader.train.batch_size
+        )
+        base_lr = base_lr * eff
+    tx = build_optimizer(
+        cfg.optimizer,
+        build_lr_schedule(base_lr, cfg.optimizer.scheduler),
+        gradient_clip_val=cfg.trainer.gradient_clip_val,
+        accumulate_grad_batches=cfg.trainer.accumulate_grad_batches,
+    )
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    run_dir = Path(cfg.output_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    trainer = Trainer(
+        engine,
+        tx,
+        dm,
+        run_dir,
+        vae_params=vae_params,
+        max_steps=cfg.trainer.max_steps,
+        num_context_views=cfg.dataset.view_sampler.num_context_views,
+        checkpoint_every=cfg.checkpointing.every_n_train_steps,
+        save_top_k=cfg.checkpointing.save_top_k,
+        use_ema=cfg.model.ema,
+        step_tracker=step_tracker,
+        mesh=mesh,
+        val_check_interval=cfg.trainer.val_check_interval,
+        task_steps=cfg.trainer.task_steps,
+    )
+    state = trainer.init_state(unet_params)
+    state = trainer.maybe_restore(state)
+    trainer.fit(state, jax.random.fold_in(rng, 1))
+
+
+def run_val(cfg: RootCfg) -> None:
+    """One validation sampling round (reference ``validation_step:492-544``):
+    sample targets from one context view and write comparison grids."""
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+    engine = build_engine(cfg)
+    unet_params, vae_params = _load_eval_params(cfg, engine, rng)
+
+    dm = build_data_module(cfg, StepTracker())
+    out_dir = Path(cfg.output_dir) / "val"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for batch_np in dm.val_dataloader():
+        b = batch_np["context"]["image"].shape[0]
+        for i in range(b):
+            ctx = scene_views_from_batch(batch_np, "context", i)
+            tgt = scene_views_from_batch(batch_np, "target", i)
+            ctx1 = SceneViews(
+                ctx.images[:1], ctx.extrinsics[:1], ctx.intrinsics[:1],
+                ctx.index[:1],
+            )
+            extr = np.concatenate([ctx1.extrinsics, tgt.extrinsics], axis=0)
+            intr = np.concatenate([ctx1.intrinsics, tgt.intrinsics], axis=0)
+            out = engine.sample(
+                unet_params,
+                vae_params,
+                jnp.asarray(ctx1.images)[None],
+                jnp.asarray(extr)[None],
+                jnp.asarray(intr)[None],
+                num_target_views=len(tgt.index),
+                rng=jax.random.fold_in(rng, i),
+            )
+            samples = np.asarray(out[0])
+            grid = hcat(
+                add_label(vcat(*list(ctx1.images)), "Context Views"),
+                add_label(vcat(*list(tgt.images)), "Original Targets"),
+                add_label(vcat(*list(samples)), "Sampled Targets"),
+            )
+            scene = batch_np["scene"][i]
+            save_image(grid, out_dir / f"{scene}.png")
+            print(f"Wrote {out_dir / f'{scene}.png'}")
+        break  # one batch, like the reference's limited val
+
+
+def _load_eval_params(cfg: RootCfg, engine, rng):
+    """Params for val/test: torch .ckpt warm start or latest orbax state."""
+    unet_params, vae_params = load_pretrained(cfg, engine, rng)
+    ckpt_dir = Path(cfg.output_dir) / "checkpoints"
+    if ckpt_dir.exists():
+        mgr = CheckpointManager(ckpt_dir)
+        latest = mgr.latest_step()
+        if latest is not None:
+            print(f"Loading orbax checkpoint step {latest}")
+            target = {
+                "params": jax.tree_util.tree_map(np.asarray, unet_params),
+            }
+            try:
+                restored = mgr.restore(latest, target)
+                unet_params = jax.tree_util.tree_map(
+                    jnp.asarray, restored["params"]
+                )
+            except Exception as e:
+                print(f"Checkpoint restore failed ({e}); using init weights")
+    return unet_params, vae_params
+
+
+def run_test(cfg: RootCfg) -> None:
+    """Video sampling over the test set (reference ``test_step`` +
+    ``on_test_end``)."""
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+    engine = build_engine(cfg)
+    unet_params, vae_params = _load_eval_params(cfg, engine, rng)
+
+    dm = build_data_module(cfg, StepTracker())
+    sampler = VideoSampler(
+        engine,
+        unet_params,
+        vae_params,
+        num_anchors_views=cfg.test.num_anchors_views,
+    )
+    output_dir = Path(cfg.test.output_dir or cfg.output_dir) / "video"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    mode = cfg.test.sampling_mode or "anchored"
+
+    limit = cfg.trainer.limit_test_batches
+    for n, batch_np in enumerate(dm.test_dataloader()):
+        if limit is not None and n >= limit:
+            break
+        scene = batch_np["scene"][0]
+        scene_dir = output_dir / scene
+        if (scene_dir / "color").exists():
+            print(f"Skipping {scene} (already sampled)")
+            continue
+        ctx = scene_views_from_batch(batch_np, "context")
+        tgt = scene_views_from_batch(batch_np, "target")
+        print(
+            f"scene = {scene}; context = {ctx.index.tolist()}; "
+            f"targets = {len(tgt.index)}"
+        )
+        fn = (
+            sampler.sample_anchored
+            if mode == "anchored"
+            else sampler.sample_autoregressive
+        )
+        results = fn(
+            ctx, tgt, jax.random.fold_in(rng, n), limit_frames=cfg.test.limit_frames
+        )
+        for index, image in results.items():
+            save_image(image, scene_dir / "color" / f"{index:0>6}.png")
+        for i, index in enumerate(ctx.index.tolist()):
+            save_image(ctx.images[i], scene_dir / "context" / f"{index:0>6}.png")
+
+    # Export GIF/MP4 per scene (reference on_test_end:1069-1088).
+    for scene_dir in sorted(output_dir.iterdir()):
+        color = scene_dir / "color"
+        if not color.is_dir():
+            continue
+        frames = [load_image(p) for p in sorted(color.glob("*.png"))]
+        if not frames:
+            continue
+        save_gif(frames, scene_dir / "sampled.gif")
+        save_video(frames, scene_dir / "sampled_fps_25.mp4", fps=25)
+        save_video(frames, scene_dir / "sampled_fps_10.mp4", fps=10)
+
+
+def main(argv=None) -> None:
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg_dict = compose(overrides)
+    set_cfg(cfg_dict)
+    cfg = load_typed_root_config(cfg_dict)
+
+    if cfg.seed is not None:
+        np.random.seed(cfg.seed)
+
+    print(f"mode={cfg.mode} output_dir={cfg.output_dir}")
+    if cfg.mode == "train":
+        run_train(cfg)
+    elif cfg.mode == "val":
+        run_val(cfg)
+    elif cfg.mode == "test":
+        run_test(cfg)
+    else:
+        raise ValueError(f"Unknown mode: {cfg.mode}")
+
+
+if __name__ == "__main__":
+    main()

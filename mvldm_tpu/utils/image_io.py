@@ -1,0 +1,65 @@
+"""Image IO (reference ``src/misc/image_io.py``): float HWC <-> PNG, plus
+GIF/MP4 export for sampled videos (reference ``on_test_end:1069-1088``;
+moviepy is not in this image, so MP4 goes through imageio-ffmpeg when
+available and is skipped otherwise)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Sequence, Union
+
+import numpy as np
+from PIL import Image
+
+FloatImage = Union[np.ndarray]
+
+
+def prep_image(image: np.ndarray) -> np.ndarray:
+    """(h, w, 3|4|1) float [0,1] -> uint8 HWC."""
+    image = np.asarray(image)
+    if image.ndim == 2:
+        image = image[..., None]
+    if image.shape[-1] == 1:
+        image = np.repeat(image, 3, axis=-1)
+    return (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def save_image(image: np.ndarray, path: Union[Path, str]) -> None:
+    path = Path(path)
+    path.parent.mkdir(exist_ok=True, parents=True)
+    Image.fromarray(prep_image(image)).save(path)
+
+
+def load_image(path: Union[Path, str]) -> np.ndarray:
+    return (
+        np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
+    )
+
+
+def save_gif(frames: Sequence[np.ndarray], path: Union[Path, str],
+             duration: int = 5) -> None:
+    """PNG-sequence -> looping GIF (reference ``on_test_end:1076-1083``)."""
+    path = Path(path)
+    path.parent.mkdir(exist_ok=True, parents=True)
+    pil = [Image.fromarray(prep_image(f)) for f in frames]
+    pil[0].save(
+        path, save_all=True, append_images=pil[1:], duration=duration, loop=0
+    )
+
+
+def save_video(frames: Sequence[np.ndarray], path: Union[Path, str],
+               fps: int = 25) -> bool:
+    """MP4 via imageio/ffmpeg; returns False (skipped) when no encoder."""
+    try:
+        import imageio.v2 as imageio
+
+        path = Path(path)
+        path.parent.mkdir(exist_ok=True, parents=True)
+        writer = imageio.get_writer(str(path), fps=fps)
+        for f in frames:
+            writer.append_data(prep_image(f))
+        writer.close()
+        return True
+    except Exception as e:  # no ffmpeg backend in this image
+        print(f"Skipping mp4 export ({type(e).__name__}: {e})")
+        return False

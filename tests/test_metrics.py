@@ -1,0 +1,92 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvldm_tpu.evaluation.metrics import compute_psnr, compute_ssim, get_lpips
+from mvldm_tpu.evaluation.metric_computer import (
+    EvaluationCfg,
+    GTSaver,
+    MethodCfg,
+    MetricComputer,
+)
+from mvldm_tpu.utils.image_io import save_image
+
+
+class TestPSNR:
+    def test_identical_images_high(self):
+        img = np.random.default_rng(0).uniform(size=(2, 16, 16, 3)).astype(np.float32)
+        psnr = compute_psnr(img, img)
+        assert float(psnr.min()) > 100
+
+    def test_known_mse(self):
+        a = np.zeros((1, 8, 8, 3), dtype=np.float32)
+        b = np.full((1, 8, 8, 3), 0.1, dtype=np.float32)
+        psnr = float(compute_psnr(a, b)[0])
+        assert psnr == pytest.approx(-10 * np.log10(0.01), abs=1e-3)
+
+    def test_ordering(self):
+        rng = np.random.default_rng(0)
+        gt = rng.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+        near = np.clip(gt + 0.01 * rng.normal(size=gt.shape), 0, 1).astype(np.float32)
+        far = np.clip(gt + 0.2 * rng.normal(size=gt.shape), 0, 1).astype(np.float32)
+        assert float(compute_psnr(gt, near)[0]) > float(compute_psnr(gt, far)[0])
+
+
+class TestSSIM:
+    def test_identical_is_one(self):
+        img = np.random.default_rng(0).uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        ssim = float(compute_ssim(img, img)[0])
+        assert ssim == pytest.approx(1.0, abs=1e-5)
+
+    def test_noise_reduces_ssim(self):
+        rng = np.random.default_rng(0)
+        gt = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        noisy = np.clip(gt + 0.3 * rng.normal(size=gt.shape), 0, 1).astype(np.float32)
+        assert float(compute_ssim(gt, noisy)[0]) < 0.9
+
+    def test_constant_shift_near_one_luminance_penalty(self):
+        gt = np.full((1, 32, 32, 3), 0.4, dtype=np.float32)
+        shifted = np.full((1, 32, 32, 3), 0.5, dtype=np.float32)
+        val = float(compute_ssim(gt, shifted)[0])
+        assert 0.5 < val < 1.0
+
+
+class TestLPIPSGate:
+    def test_missing_weights_returns_none(self, tmp_path):
+        assert get_lpips(tmp_path / "nope.npz") is None
+
+
+class TestMetricComputer:
+    def test_end_to_end_on_disk(self, tmp_path):
+        rng = np.random.default_rng(0)
+        gt_dir = tmp_path / "gt"
+        method_dir = tmp_path / "ours"
+        for scene in ("sceneA", "sceneB"):
+            for idx in (1, 2, 3):
+                img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+                save_image(img, gt_dir / scene / f"{idx:0>6}.png")
+                noisy = np.clip(img + 0.05 * rng.normal(size=img.shape), 0, 1)
+                save_image(noisy, method_dir / scene / "color" / f"{idx:0>6}.png")
+
+        cfg = EvaluationCfg(
+            methods=[MethodCfg(name="ours", key="ours", path=method_dir)]
+        )
+        computer = MetricComputer(cfg, gt_dir)
+        results = computer.compute()
+        assert results["ours"]["num_scenes"] == 2
+        assert 10 < results["ours"]["psnr"] < 40
+        assert 0 < results["ours"]["ssim"] <= 1
+
+    def test_gt_saver(self, tmp_path):
+        batch = {
+            "scene": ["s1"],
+            "target": {
+                "image": np.zeros((1, 3, 8, 8, 3), dtype=np.float32),
+                "index": np.asarray([[5, 6, 7]]),
+            },
+        }
+        saver = GTSaver(tmp_path, limit_frames=2)
+        saver.save_batch(batch)
+        assert (tmp_path / "s1" / "000005.png").exists()
+        assert (tmp_path / "s1" / "000006.png").exists()
+        assert not (tmp_path / "s1" / "000007.png").exists()

@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvldm_tpu.config import LRSchedulerCfg, OptimizerCfg
+from mvldm_tpu.diffusion.engine import Batch
+from mvldm_tpu.parallel.mesh import make_mesh
+from mvldm_tpu.training.checkpoint import CheckpointManager
+from mvldm_tpu.training.optim import build_lr_schedule, build_optimizer, ema_update
+from mvldm_tpu.training.trainer import TrainState, batch_from_arrays, make_train_step
+
+from test_engine import tiny_engine, make_batch  # fixtures
+
+
+class TestLRSchedule:
+    def test_linear_lr_torch_semantics(self):
+        cfg = LRSchedulerCfg(
+            name="LinearLR", kwargs={"start_factor": 5e-4, "total_iters": 200}
+        )
+        sched = build_lr_schedule(2e-5, cfg)
+        assert float(sched(0)) == pytest.approx(2e-5 * 5e-4)
+        assert float(sched(100)) == pytest.approx(2e-5 * (5e-4 + (1 - 5e-4) / 2))
+        assert float(sched(200)) == pytest.approx(2e-5)
+        assert float(sched(10_000)) == pytest.approx(2e-5)
+
+
+class TestEMA:
+    def test_decay(self):
+        ema = {"w": jnp.ones((3,))}
+        params = {"w": jnp.zeros((3,))}
+        out = ema_update(ema, params, decay=0.995)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.995, rtol=1e-6)
+
+
+class TestTrainStep:
+    def _setup(self, tiny_engine, use_ema=False, accum=1):
+        engine, unet_params, vae_params = tiny_engine
+        opt_cfg = OptimizerCfg(name="AdamW", lr=1e-4, scale_lr=False)
+        tx = build_optimizer(
+            opt_cfg,
+            build_lr_schedule(1e-4, None),
+            gradient_clip_val=0.1,
+            accumulate_grad_batches=accum,
+        )
+        step_fn = make_train_step(
+            engine, tx, vae_params, num_context_views=2, donate=False
+        )
+        state = TrainState(
+            params=unet_params,
+            opt_state=tx.init(unet_params),
+            ema_params=(
+                jax.tree_util.tree_map(jnp.copy, unet_params) if use_ema else None
+            ),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        return engine, step_fn, state
+
+    def test_step_updates_params(self, tiny_engine):
+        engine, step_fn, state = self._setup(tiny_engine)
+        batch = make_batch(jax.random.PRNGKey(0))
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss/diffusion"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+        # At least one parameter changed.
+        changed = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.any(a != b)), state.params, new_state.params
+        )
+        assert any(jax.tree_util.tree_leaves(changed))
+
+    def test_ema_tracks_params(self, tiny_engine):
+        engine, step_fn, state = self._setup(tiny_engine, use_ema=True)
+        batch = make_batch(jax.random.PRNGKey(0))
+        new_state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+        # EMA must differ from both old ema (moved) and new params (lagging).
+        diff_new = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda e, p: bool(jnp.any(e != p)), new_state.ema_params,
+                new_state.params,
+            )
+        )
+        assert any(diff_new)
+
+    def test_grad_accumulation_delays_update(self, tiny_engine):
+        engine, step_fn, state = self._setup(tiny_engine, accum=2)
+        batch = make_batch(jax.random.PRNGKey(0))
+        s1, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+        # After one micro-step with accum=2, params must be unchanged.
+        same = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.all(a == b)), state.params, s1.params
+        )
+        assert all(jax.tree_util.tree_leaves(same))
+        s2, _ = step_fn(s1, batch, jax.random.PRNGKey(2))
+        changed = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.any(a != b)), state.params, s2.params
+        )
+        assert any(jax.tree_util.tree_leaves(changed))
+
+
+class TestShardedTrainStep:
+    def test_8_device_data_parallel(self, tiny_engine):
+        """One sharded step over the virtual 8-device mesh — the DDP
+        equivalent (gradient psum via XLA)."""
+        engine, unet_params, vae_params = tiny_engine
+        mesh = make_mesh(num_data=8)
+        opt_cfg = OptimizerCfg(name="AdamW", lr=1e-4, scale_lr=False)
+        tx = build_optimizer(opt_cfg, build_lr_schedule(1e-4, None), 0.1)
+        step_fn = make_train_step(
+            engine, tx, vae_params, num_context_views=2, mesh=mesh, donate=False
+        )
+        state = TrainState(
+            params=unet_params,
+            opt_state=tx.init(unet_params),
+            ema_params=None,
+            step=jnp.asarray(0, jnp.int32),
+        )
+        batch = make_batch(jax.random.PRNGKey(0), b=8)
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss/diffusion"]))
+        assert int(new_state.step) == 1
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, tiny_engine):
+        engine, unet_params, vae_params = tiny_engine
+        mgr = CheckpointManager(tmp_path / "ckpts", save_top_k=2)
+        state = {
+            "params": jax.tree_util.tree_map(np.asarray, unet_params),
+            "step": np.asarray(7),
+        }
+        mgr.save(7, state)
+        assert mgr.latest_step() == 7
+        restored = mgr.restore(7, state)
+        np.testing.assert_array_equal(restored["step"], 7)
+        a = jax.tree_util.tree_leaves(restored["params"])[0]
+        b = jax.tree_util.tree_leaves(state["params"])[0]
+        np.testing.assert_array_equal(a, b)
+
+    def test_prune_keeps_top_k(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "ckpts", save_top_k=1)
+        for step in (1, 2, 3):
+            mgr.save(step, {"x": np.asarray(step)})
+        assert mgr.all_steps() == [3]
+        assert mgr.latest_step() == 3
