@@ -68,9 +68,9 @@ def build_flagship():
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, 2, 32, 32, in_ch), dtype)
     t = jnp.zeros((1, 2), jnp.int32)
-    unet_params = unet.init(rng, x, t)["params"]
+    unet_params = jax.jit(unet.init)(rng, x, t)["params"]
     img = jnp.zeros((1, IMAGE_HW, IMAGE_HW, 3), dtype)
-    vae_params = vae.init(rng, img, rng)["params"]
+    vae_params = jax.jit(vae.init)(rng, img, rng)["params"]
     return engine, unet_params, vae_params
 
 
@@ -98,11 +98,12 @@ def main() -> None:
     engine, unet_params, vae_params = build_flagship()
     sampler = VideoSampler(engine, unet_params, vae_params, num_anchors_views=4)
 
-    # Warm-up: compile both shape buckets on a short scene.
-    ctx_w, tgt_w = make_scene(7)
-    sampler.sample_anchored(ctx_w, tgt_w, jax.random.PRNGKey(1))
-
+    # Warm-up: one cold pass over the full scene compiles every shape bucket
+    # (anchor call + the greedy fill buckets); the measured pass is the
+    # steady-state per-scene throughput of an evaluation sweep.
     ctx, tgt = make_scene(NUM_FRAMES)
+    sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(1))
+
     t0 = time.perf_counter()
     results = sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(2))
     dt = time.perf_counter() - t0

@@ -59,9 +59,9 @@ def init_params(
     k1, k2, k3 = jax.random.split(rng, 3)
     x = jnp.zeros((1, 2, hl, wl, in_ch))
     t = jnp.zeros((1, 2), dtype=jnp.int32)
-    unet_params = engine.unet.init(k1, x, t)["params"]
+    unet_params = jax.jit(engine.unet.init)(k1, x, t)["params"]
     img = jnp.zeros((1, h, w, 3))
-    vae_params = engine.vae.init(k2, img, k3)["params"]
+    vae_params = jax.jit(engine.vae.init)(k2, img, k3)["params"]
     return unet_params, vae_params
 
 

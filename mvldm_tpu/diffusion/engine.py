@@ -134,12 +134,22 @@ class DiffusionEngine:
         vae: AutoencoderKL,
         scheduler: DDIMScheduler | DDPMScheduler,
         dtype: jnp.dtype = jnp.float32,
+        cfg_mode: str = "sequential",
     ):
         self.cfg = model_cfg
         self.unet = unet
         self.vae = vae
         self.scheduler = scheduler
         self.dtype = dtype
+        # CFG execution strategy, numerically identical either way:
+        # "sequential" — cond forward on ctx+tgt, then uncond on tgt only
+        #   (the reference's form, diffusion_wrapper.py:435-441; 20% fewer
+        #   view-forwards, best at large sampling batches);
+        # "batched" — one launch with 2b rows and the uncond row's context
+        #   views masked out of joint attention (best at tiny batches where
+        #   MXU utilization is launch-bound).
+        assert cfg_mode in ("sequential", "batched")
+        self.cfg_mode = cfg_mode
 
     # ------------------------------------------------------------------ VAE
 
@@ -349,7 +359,7 @@ class DiffusionEngine:
             axis=1,
         )
 
-        if cfg.use_cfg:
+        if cfg.use_cfg and self.cfg_mode == "batched":
             # One launch: rows [0, b) conditional, rows [b, 2b) unconditional
             # with context views masked out of the joint attention.
             inputs2 = jnp.concatenate([inputs, inputs], axis=0)
@@ -366,6 +376,18 @@ class DiffusionEngine:
             pred_cond = pred[:b, v_c:]
             pred_uncond = pred[b:, v_c:]
             pred_out = pred_uncond + cfg.cfg_scale * (pred_cond - pred_uncond)
+        elif cfg.use_cfg:
+            # Sequential CFG (the reference's two forwards): conditional on
+            # ctx+tgt, unconditional on the target views alone.
+            pred_cond = self.unet.apply(
+                {"params": unet_params}, inputs, timesteps
+            )
+            pred_uncond = self.unet.apply(
+                {"params": unet_params}, inputs[:, v_c:], timesteps[:, v_c:]
+            )
+            pred_out = pred_uncond + cfg.cfg_scale * (
+                pred_cond[:, v_c:] - pred_uncond
+            )
         else:
             pred = self.unet.apply({"params": unet_params}, inputs, timesteps)
             pred_out = pred[:, v_c:]

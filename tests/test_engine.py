@@ -128,9 +128,15 @@ class TestTrainingLoss:
 
 class TestDenoiseStepCFG:
     def test_batched_cfg_equals_two_forwards(self, tiny_engine):
-        """The single-launch batched CFG must match the reference's two
-        sequential forwards (cond on ctx+tgt, uncond on tgt only) exactly."""
+        """Both CFG execution modes must match the reference's two sequential
+        forwards (cond on ctx+tgt, uncond on tgt only) exactly."""
+        from mvldm_tpu.diffusion.engine import DiffusionEngine
+
         engine, unet_params, vae_params = tiny_engine
+        batched_engine = DiffusionEngine(
+            engine.cfg, engine.unet, engine.vae, engine.scheduler,
+            cfg_mode="batched",
+        )
         key = jax.random.PRNGKey(4)
         b, v_c, v_t, hl = 1, 2, 3, 4
         ctx_lat = jax.random.normal(key, (b, v_c, hl, hl, 4))
@@ -139,7 +145,10 @@ class TestDenoiseStepCFG:
         rays = engine.ray_encode(batch.extrinsics, batch.intrinsics, (hl, hl))
         ts = jnp.asarray(400)
 
-        out_batched = engine.denoise_step(unet_params, x_t, ts, ctx_lat, rays)
+        out_seq = engine.denoise_step(unet_params, x_t, ts, ctx_lat, rays)
+        out_batched = batched_engine.denoise_step(
+            unet_params, x_t, ts, ctx_lat, rays
+        )
 
         # Reference path: two separate calls.
         inputs = engine._unet_inputs(ctx_lat, x_t, rays)
@@ -156,6 +165,9 @@ class TestDenoiseStepCFG:
 
         pred = pred_uncond + engine.cfg.cfg_scale * (pred_cond[:, v_c:] - pred_uncond)
         expected = engine.scheduler.step(pred, ts, x_t)
+        np.testing.assert_allclose(
+            np.asarray(out_seq), np.asarray(expected), atol=2e-4
+        )
         np.testing.assert_allclose(
             np.asarray(out_batched), np.asarray(expected), atol=2e-4
         )
