@@ -122,16 +122,11 @@ def _sample_isotropic_rotation(
     eps: float, rng: np.random.Generator
 ) -> np.ndarray:
     """Sample from an isotropic Gaussian on SO(3) with concentration ``eps``
-    (the reference uses ``IsotropicGaussianSO3``, ``rotation_utils.py``; here
-    the axis-angle density is sampled directly: uniform axis, angle ~
-    wrapped-Gaussian truncated to [0, pi])."""
-    axis = rng.normal(size=3)
-    axis = axis / np.linalg.norm(axis)
-    angle = abs(rng.normal(0.0, np.sqrt(2.0) * eps))
-    angle = min(angle, np.pi)
-    from scipy.spatial.transform import Rotation
+    (reference ``IsotropicGaussianSO3``, ``rotation_utils.py``; series-
+    expansion density with inverse-CDF angle sampling)."""
+    from ..utils.rotation_utils import IsotropicGaussianSO3
 
-    return Rotation.from_rotvec(axis * angle).as_matrix().astype(np.float32)
+    return IsotropicGaussianSO3(eps).sample(rng, 1)[0].astype(np.float32)
 
 
 def apply_random_transform_shim(

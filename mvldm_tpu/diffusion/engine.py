@@ -134,7 +134,7 @@ class DiffusionEngine:
         vae: AutoencoderKL,
         scheduler: DDIMScheduler | DDPMScheduler,
         dtype: jnp.dtype = jnp.float32,
-        cfg_mode: str = "sequential",
+        cfg_mode: str = "auto",
     ):
         self.cfg = model_cfg
         self.unet = unet
@@ -144,12 +144,20 @@ class DiffusionEngine:
         # CFG execution strategy, numerically identical either way:
         # "sequential" — cond forward on ctx+tgt, then uncond on tgt only
         #   (the reference's form, diffusion_wrapper.py:435-441; 20% fewer
-        #   view-forwards, best at large sampling batches);
+        #   view-forwards, wins at large sampling batches);
         # "batched" — one launch with 2b rows and the uncond row's context
-        #   views masked out of joint attention (best at tiny batches where
-        #   MXU utilization is launch-bound).
-        assert cfg_mode in ("sequential", "batched")
+        #   views masked out of joint attention (wins at tiny batches where
+        #   the MXU is utilization-bound: measured 51 ms vs 90 ms per step
+        #   at b=1 on v5e);
+        # "auto" — batched when the conditional row count b <= 2 (shapes are
+        #   static under jit, so this resolves at trace time).
+        assert cfg_mode in ("sequential", "batched", "auto")
         self.cfg_mode = cfg_mode
+
+    def _resolve_cfg_mode(self, b: int) -> str:
+        if self.cfg_mode != "auto":
+            return self.cfg_mode
+        return "batched" if b <= 2 else "sequential"
 
     # ------------------------------------------------------------------ VAE
 
@@ -359,7 +367,7 @@ class DiffusionEngine:
             axis=1,
         )
 
-        if cfg.use_cfg and self.cfg_mode == "batched":
+        if cfg.use_cfg and self._resolve_cfg_mode(b) == "batched":
             # One launch: rows [0, b) conditional, rows [b, 2b) unconditional
             # with context views masked out of the joint attention.
             inputs2 = jnp.concatenate([inputs, inputs], axis=0)

@@ -121,19 +121,19 @@ class VideoSampler:
             ]
         )
         v_t = targets[0].extrinsics.shape[0]
-        extr = np.asarray(
-            absolute_to_relative_camera(jnp.asarray(extr), rel_index)
-        )
+        extr = absolute_to_relative_camera(jnp.asarray(extr), rel_index)
         out = self._sample(
             self.unet_params,
             self.vae_params,
             jnp.asarray(ctx_images),
-            jnp.asarray(extr),
+            extr,
             jnp.asarray(intr),
             num_target_views=v_t,
             rng=rng,
         )
-        return np.asarray(jnp.clip(out, 0.0, 1.0))
+        # Device array; callers convert after submitting all chunks so JAX's
+        # async dispatch overlaps host-side prep with device compute.
+        return jnp.clip(out, 0.0, 1.0)
 
     @staticmethod
     def _take(views: SceneViews, idx) -> SceneViews:
@@ -256,6 +256,7 @@ class VideoSampler:
             buckets.append(size)
             size //= 2
         start = 0
+        pending = []
         while start < len(jobs):
             remaining = len(jobs) - start
             bucket = next(b for b in buckets if b <= remaining or b == 1)
@@ -266,10 +267,14 @@ class VideoSampler:
                 chunk.append(chunk[-1])
             rng, k = jax.random.split(rng)
             # rel_index=1: poses relative to the anchor (reference :881).
-            images = self._run_batched(
+            # Submit without syncing; gather after all chunks are in flight.
+            out = self._run_batched(
                 [j[0] for j in chunk], [j[1] for j in chunk], 1, k
             )
-            for (ctx2, gviews, group), imgs in zip(chunk[:real_chunk], images):
+            pending.append((chunk[:real_chunk], out))
+        for chunk, out in pending:
+            images = np.asarray(out)
+            for (ctx2, gviews, group), imgs in zip(chunk, images):
                 for i, p in enumerate(group):
                     results[int(target.index[p])] = imgs[i]
         return results

@@ -1,0 +1,124 @@
+"""FID / KID computation.
+
+Re-creates the reference's FID surface (torchmetrics FID at
+``metric_computer.py:22,65-68`` and cleanfid directory-vs-directory at
+``scripts/compute_fid.py:43-50``) as feature-space statistics in numpy:
+
+* :func:`frechet_distance` — exact Frechet distance between Gaussian fits.
+* :func:`kernel_distance` — polynomial-kernel MMD (KID).
+* :class:`FeatureExtractor` protocol — any callable mapping image batches to
+  feature vectors. InceptionV3 weights cannot be downloaded in this
+  environment, so the default extractor is the LPIPS VGG16 trunk when its
+  converted weights exist (a standard FID-style substitute); scores are
+  comparable within a run, not against published Inception-FID numbers.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+import scipy.linalg
+
+
+def gaussian_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(
+    feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
+) -> float:
+    mu1, sigma1 = gaussian_stats(feats_a)
+    mu2, sigma2 = gaussian_stats(feats_b)
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def kernel_distance(
+    feats_a: np.ndarray,
+    feats_b: np.ndarray,
+    degree: int = 3,
+    gamma: Optional[float] = None,
+    coef0: float = 1.0,
+) -> float:
+    """KID: polynomial-kernel MMD^2 (cleanfid semantics)."""
+    d = feats_a.shape[1]
+    gamma = gamma if gamma is not None else 1.0 / d
+
+    def k(x, y):
+        return (gamma * x @ y.T + coef0) ** degree
+
+    m, n = len(feats_a), len(feats_b)
+    kxx = k(feats_a, feats_a)
+    kyy = k(feats_b, feats_b)
+    kxy = k(feats_a, feats_b)
+    mmd = (
+        (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+        + (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+        - 2 * kxy.mean()
+    )
+    return float(mmd)
+
+
+def vgg_feature_extractor(
+    lpips_weights: Optional[Path] = None,
+) -> Optional[Callable[[np.ndarray], np.ndarray]]:
+    """Pooled VGG16 conv5 features (needs assets/lpips_vgg.npz)."""
+    from .metrics import get_lpips
+
+    lp = get_lpips(lpips_weights)
+    if lp is None:
+        return None
+
+    import jax.numpy as jnp
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        x = (jnp.asarray(images) - lp.MEAN) / lp.STD
+        feats = lp.vgg(x.astype(jnp.float32))
+        pooled = jnp.mean(feats[-1], axis=(1, 2))
+        return np.asarray(pooled)
+
+    return extract
+
+
+def fid_between_dirs(
+    dir_a: Path,
+    dir_b: Path,
+    extractor: Optional[Callable] = None,
+    batch_size: int = 32,
+) -> dict:
+    """Directory-vs-directory FID/KID (reference ``compute_fid.py:43-50``)."""
+    from ..utils.image_io import load_image
+
+    extractor = extractor or vgg_feature_extractor()
+    if extractor is None:
+        raise RuntimeError(
+            "No feature extractor available: convert LPIPS/VGG weights first "
+            "(utils/lpips_convert.py)."
+        )
+
+    def features_of(directory: Path) -> np.ndarray:
+        paths = sorted(Path(directory).rglob("*.png"))
+        feats = []
+        for i in range(0, len(paths), batch_size):
+            batch = np.stack([load_image(p) for p in paths[i : i + batch_size]])
+            feats.append(extractor(batch))
+        return np.concatenate(feats)
+
+    fa = features_of(dir_a)
+    fb = features_of(dir_b)
+    return {
+        "fid": frechet_distance(fa, fb),
+        "kid": kernel_distance(fa, fb),
+        "num_a": len(fa),
+        "num_b": len(fb),
+    }

@@ -45,6 +45,7 @@ from .layers import (
     timestep_embedding,
 )
 from .mv_attention import SpatialTransformer3D, SpatialTransformer3DCfg
+from .standard_transformer import CrossAttentionCfg, StandardTransformer
 
 
 @dataclass
@@ -81,7 +82,7 @@ class MultiViewUNetCfg:
 
     name: Literal["mv_unet"] = "mv_unet"
     autoencoder: UNetBackboneCfg = field(default_factory=UNetBackboneCfg)
-    multi_view_attention: SpatialTransformer3DCfg = field(
+    multi_view_attention: SpatialTransformer3DCfg | CrossAttentionCfg = field(
         default_factory=SpatialTransformer3DCfg
     )
     use_ray_encoding: bool = True
@@ -150,8 +151,14 @@ class MultiViewUNet(nn.Module):
         )(hidden)
 
         def cross_view(name: str, x: Array) -> Array:
+            # Attention-block factory (reference denoiser/attention.py:8-27).
+            mv_cfg = self.cfg.multi_view_attention
+            if mv_cfg.name == "standard":
+                return StandardTransformer(
+                    mv_cfg, dtype=self.dtype, name=name
+                )(x, view_mask=view_mask)
             return SpatialTransformer3D(
-                self.cfg.multi_view_attention,
+                mv_cfg,
                 groups=cfg.norm_num_groups,
                 dtype=self.dtype,
                 name=name,
