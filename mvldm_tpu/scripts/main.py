@@ -73,7 +73,8 @@ def run_train(cfg: RootCfg) -> None:
         accumulate_grad_batches=cfg.trainer.accumulate_grad_batches,
     )
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    use_mesh = cfg.trainer.strategy == "data_parallel" and jax.device_count() > 1
+    mesh = make_mesh() if use_mesh else None
     run_dir = Path(cfg.output_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
@@ -110,7 +111,15 @@ def run_val(cfg: RootCfg) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     for batch_np in dm.val_dataloader():
+        # Camera frusta render (reference validation_step:500-503).
+        from ..visualization.validation_in_3d import render_cameras
+
+        cameras = hcat(*render_cameras(batch_np, 256))
+        save_image(cameras, out_dir / "cameras.png")
+
         b = batch_np["context"]["image"].shape[0]
+        all_samples = []
+        all_targets = []
         for i in range(b):
             ctx = scene_views_from_batch(batch_np, "context", i)
             tgt = scene_views_from_batch(batch_np, "target", i)
@@ -138,11 +147,24 @@ def run_val(cfg: RootCfg) -> None:
             scene = batch_np["scene"][i]
             save_image(grid, out_dir / f"{scene}.png")
             print(f"Wrote {out_dir / f'{scene}.png'}")
+            all_samples.append(samples)
+            all_targets.append(tgt.images)
+
+        # Value-distribution histograms (reference validation_step:534-544).
+        from ..visualization.color_map import get_hist_image
+
+        hist = hcat(
+            get_hist_image(np.concatenate(all_targets), title="Target Distribution"),
+            get_hist_image(np.concatenate(all_samples), title="Sampled Distribution"),
+        )
+        save_image(hist, out_dir / "distributions.png")
         break  # one batch, like the reference's limited val
 
 
 def _load_eval_params(cfg: RootCfg, engine, rng):
-    """Params for val/test: torch .ckpt warm start or latest orbax state."""
+    """Params for val/test: torch .ckpt warm start or latest orbax state.
+    With ``model.use_ema_sampling`` the EMA parameter tree is used when the
+    checkpoint has one (reference ``sample():460-465``)."""
     unet_params, vae_params = load_pretrained(cfg, engine, rng)
     ckpt_dir = Path(cfg.output_dir) / "checkpoints"
     if ckpt_dir.exists():
@@ -150,14 +172,20 @@ def _load_eval_params(cfg: RootCfg, engine, rng):
         latest = mgr.latest_step()
         if latest is not None:
             print(f"Loading orbax checkpoint step {latest}")
+            key = "params"
             target = {
-                "params": jax.tree_util.tree_map(np.asarray, unet_params),
+                key: jax.tree_util.tree_map(np.asarray, unet_params),
             }
+            if cfg.model.use_ema_sampling:
+                target = {
+                    "ema_params": jax.tree_util.tree_map(np.asarray, unet_params)
+                }
+                key = "ema_params"
             try:
                 restored = mgr.restore(latest, target)
-                unet_params = jax.tree_util.tree_map(
-                    jnp.asarray, restored["params"]
-                )
+                unet_params = jax.tree_util.tree_map(jnp.asarray, restored[key])
+                if key == "ema_params":
+                    print("Using EMA weights for sampling")
             except Exception as e:
                 print(f"Checkpoint restore failed ({e}); using init weights")
     return unet_params, vae_params
@@ -177,7 +205,8 @@ def run_test(cfg: RootCfg) -> None:
         vae_params,
         num_anchors_views=cfg.test.num_anchors_views,
     )
-    output_dir = Path(cfg.test.output_dir or cfg.output_dir) / "video"
+    test_dir = cfg.test.output_dir if str(cfg.test.output_dir) not in ("", ".") else None
+    output_dir = Path(test_dir or cfg.output_dir) / "video"
     output_dir.mkdir(parents=True, exist_ok=True)
     mode = cfg.test.sampling_mode or "anchored"
 
