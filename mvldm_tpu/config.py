@@ -369,7 +369,13 @@ def compose(
             raise ValueError(f"Malformed override: {ov!r}")
         key, _, raw = ov.partition("=")
         key = key.lstrip("+")
-        _set_path(cfg, key, yaml.safe_load(raw))
+        if "/" in key and (config_dir / key / f"{yaml.safe_load(raw)}.yaml").exists():
+            # Hydra group-override syntax: model/scheduler=ddpm REPLACES the
+            # whole group with that group file.
+            sub = _load_group(config_dir, key, yaml.safe_load(raw))
+            _set_path(cfg, key.replace("/", "."), sub)
+        else:
+            _set_path(cfg, key, yaml.safe_load(raw))
     return cfg
 
 
