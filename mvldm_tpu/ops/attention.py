@@ -88,6 +88,10 @@ def _flash_kernel(
     p = jnp.exp(s - m_new)
     l_scr[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     m_scr[:] = m_new
+    # Note: a transposed accumulator (acc = V^T P^T, putting block_q on the
+    # lane dim for small head dims) was measured 3x SLOWER on v5e than this
+    # straight form — Mosaic lowers the (d, block_k) x (block_k, block_q)
+    # contraction poorly. Keep P @ V.
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p,
         v_ref[0].astype(jnp.float32),
