@@ -186,10 +186,24 @@ class Trainer:
         loader = self.data_module.train_dataloader()
         t0 = time.perf_counter()
         window = 0
+        # Optional profiler capture of a few warm steps (the reference has no
+        # tracing at all, SURVEY.md §5; set MVLDM_PROFILE_DIR to enable).
+        import os
+
+        profile_dir = os.environ.get("MVLDM_PROFILE_DIR")
+        profile_window = (start_step + 10, start_step + 13)
+        profiling = False
         for batch_np in loader:
             step = int(state.step)
             if step >= end_step:
                 break
+            if profile_dir and step == profile_window[0] and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profile_dir and profiling and step == profile_window[1]:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[profile] wrote train-step trace to {profile_dir}")
             if self.step_tracker is not None:
                 self.step_tracker.set_step(step)
 
@@ -231,4 +245,6 @@ class Trainer:
                 and new_step % self.val_check_interval == 0
             ):
                 self.val_hook(state, new_step)
+        if profiling:
+            jax.profiler.stop_trace()
         return state
