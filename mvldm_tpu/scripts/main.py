@@ -72,6 +72,14 @@ def run_train(cfg: RootCfg) -> None:
         gradient_clip_val=cfg.trainer.gradient_clip_val,
         accumulate_grad_batches=cfg.trainer.accumulate_grad_batches,
     )
+    # freeze.autoencoder is structural here (the VAE is never optimized and
+    # its encode is stop-gradient'ed); freeze.denoiser zeroes all updates
+    # (reference freeze() at diffusion_wrapper.py:133-134).
+    if cfg.freeze.denoiser:
+        import optax
+
+        print("freeze.denoiser=true: denoiser updates disabled")
+        tx = optax.set_to_zero()
 
     use_mesh = cfg.trainer.strategy == "data_parallel" and jax.device_count() > 1
     mesh = make_mesh() if use_mesh else None
