@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.image_io import load_image, save_image
-from .metrics import compute_psnr, compute_ssim, get_lpips
+from .metrics import compute_psnr, compute_ssim, get_dists, get_lpips
 
 
 @dataclass
@@ -55,6 +55,7 @@ class MetricComputer:
         self.cfg = cfg
         self.gt_dir = Path(gt_dir)
         self.lpips = get_lpips(lpips_weights)
+        self.dists = get_dists(lpips_weights)
 
     def _scene_frames(self, scene_dir: Path) -> Dict[int, Path]:
         return {
@@ -92,6 +93,8 @@ class MetricComputer:
                 }
                 if self.lpips is not None:
                     metrics["lpips"] = float(jnp.mean(self.lpips(gt, pred)))
+                if self.dists is not None:
+                    metrics["dists"] = float(jnp.mean(self.dists(gt, pred)))
                 acc = sums[method.key]
                 for k, v in metrics.items():
                     acc[k] = acc.get(k, 0.0) + v

