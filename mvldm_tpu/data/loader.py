@@ -122,7 +122,17 @@ class DataModule:
         self.step_tracker = step_tracker
 
     def _dataset(self, stage: Stage, seed: Optional[int]) -> DatasetRE10k:
-        rng = np.random.default_rng(seed)
+        # Multi-host: each process draws an independent stream for train
+        # (host-local data feeding, SURVEY.md §2.4) and stripes test chunks
+        # across processes (the reference stripes across dataloader workers,
+        # dataset_re10k.py:87-92).
+        import jax
+
+        process = jax.process_index()
+        num_processes = jax.process_count()
+        rng = np.random.default_rng(
+            seed if seed is None else seed + process
+        )
         sampler = get_view_sampler(
             self.view_sampler_cfg,
             stage,
@@ -131,7 +141,14 @@ class DataModule:
             self.step_tracker,
             rng=rng,
         )
-        return DatasetRE10k(self.dataset_cfg, stage, sampler, rng=rng)
+        return DatasetRE10k(
+            self.dataset_cfg,
+            stage,
+            sampler,
+            rng=rng,
+            worker_index=process,
+            num_workers=num_processes,
+        )
 
     def _batches(
         self, stage: Stage, cfg: DataLoaderStageCfg, repeat: bool

@@ -350,6 +350,7 @@ class DiffusionEngine:
         ts: Array,
         context_latents: Array,
         rays: Array,
+        step_rng: Array | None = None,
     ) -> Array:
         """One CFG denoise step (reference ``step():413-453``), batched CFG."""
         cfg = self.cfg
@@ -400,6 +401,12 @@ class DiffusionEngine:
             pred = self.unet.apply({"params": unet_params}, inputs, timesteps)
             pred_out = pred[:, v_c:]
 
+        if isinstance(self.scheduler, DDPMScheduler):
+            # Ancestral sampling needs per-step noise.
+            return self.scheduler.step(
+                pred_out.astype(jnp.float32), ts, x_t.astype(jnp.float32),
+                rng=step_rng,
+            )
         return self.scheduler.step(
             pred_out.astype(jnp.float32), ts, x_t.astype(jnp.float32)
         )
@@ -425,12 +432,18 @@ class DiffusionEngine:
         )
         rays = self.ray_encode(extrinsics, intrinsics, (hl, wl))
         timesteps = jnp.asarray(self.scheduler.timesteps(), dtype=jnp.int32)
+        step_keys = jax.random.split(
+            jax.random.fold_in(rng, 1), len(timesteps)
+        )
 
-        def body(x, ts):
-            x = self.denoise_step(unet_params, x, ts, context_latents, rays)
+        def body(x, scan_in):
+            ts, key = scan_in
+            x = self.denoise_step(
+                unet_params, x, ts, context_latents, rays, step_rng=key
+            )
             return x, None
 
-        x_t, _ = jax.lax.scan(body, x_t, timesteps)
+        x_t, _ = jax.lax.scan(body, x_t, (timesteps, step_keys))
         return x_t
 
     def sample(
