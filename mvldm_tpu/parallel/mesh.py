@@ -45,3 +45,27 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def zero1_shardings(mesh: Mesh, tree):
+    """ZeRO-1-style shardings for an optimizer-state pytree: each array leaf
+    is sharded over the ``data`` axis along its largest divisible dimension
+    (replicated when none divides). With N chips this cuts the AdamW moment
+    memory by ~N — the difference between the 0.93B-param UNet fitting on a
+    v5e pod slice or not (a single chip OOMs at 23.9G vs 15.75G HBM; the
+    reference needs 40GB GPUs for the same reason, README.md:73)."""
+    n = mesh.shape["data"]
+
+    def leaf_sharding(leaf):
+        shape = getattr(leaf, "shape", ())
+        if not shape:
+            return replicated(mesh)
+        sizes = [(dim, i) for i, dim in enumerate(shape) if dim % n == 0 and dim >= n]
+        if not sizes:
+            return replicated(mesh)
+        _, axis = max(sizes)
+        spec = [None] * len(shape)
+        spec[axis] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)

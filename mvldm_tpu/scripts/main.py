@@ -81,8 +81,13 @@ def run_train(cfg: RootCfg) -> None:
         print("freeze.denoiser=true: denoiser updates disabled")
         tx = optax.set_to_zero()
 
-    use_mesh = cfg.trainer.strategy == "data_parallel" and jax.device_count() > 1
+    # strategy: "data_parallel" (DDP equivalent), "data_parallel_zero1"
+    # (+ optimizer-state sharding over the data axis), anything else = single
+    # device.
+    dp_strategies = ("data_parallel", "data_parallel_zero1")
+    use_mesh = cfg.trainer.strategy in dp_strategies and jax.device_count() > 1
     mesh = make_mesh() if use_mesh else None
+    use_zero1 = use_mesh and cfg.trainer.strategy == "data_parallel_zero1"
     run_dir = Path(cfg.output_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
@@ -101,6 +106,8 @@ def run_train(cfg: RootCfg) -> None:
         mesh=mesh,
         val_check_interval=cfg.trainer.val_check_interval,
         task_steps=cfg.trainer.task_steps,
+        shard_optimizer_states=use_zero1,
+        example_params=unet_params if use_zero1 else None,
     )
     state = trainer.init_state(unet_params)
     state = trainer.maybe_restore(state)

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.loader import DataModule
 from ..data.view_samplers import StepTracker
 from ..diffusion.engine import Batch, DiffusionEngine
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, zero1_shardings
 from .checkpoint import CheckpointManager
 from .optim import ema_update
 
@@ -62,10 +62,14 @@ def make_train_step(
     ema_decay: float = 0.995,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    shard_optimizer_states: bool = False,
+    example_params: Any = None,
 ) -> Callable:
     """Build the jitted train step. With a mesh, the batch is sharded over
     the ``data`` axis and state is replicated; XLA inserts the gradient
-    all-reduce."""
+    all-reduce. ``shard_optimizer_states`` additionally distributes the
+    optimizer moments over the data axis (ZeRO-1); pass ``example_params``
+    (or abstract shapes) so the opt-state sharding tree can be derived."""
 
     def train_step(state: TrainState, batch: Batch, rng):
         def loss_fn(params):
@@ -99,12 +103,40 @@ def make_train_step(
     data = batch_sharding(mesh)
     batch_shardings = Batch(images=data, extrinsics=data, intrinsics=data,
                             is_target=data)
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, batch_shardings, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=donate_argnums,
-    )
+
+    opt_sharding: Any = repl
+    if shard_optimizer_states:
+        assert example_params is not None, (
+            "shard_optimizer_states requires example_params"
+        )
+        abstract_opt = jax.eval_shape(tx.init, example_params)
+        opt_sharding = zero1_shardings(mesh, abstract_opt)
+
+    def state_shardings(ema: bool) -> TrainState:
+        return TrainState(
+            params=repl,
+            opt_state=opt_sharding,
+            ema_params=repl if ema else None,
+            step=repl,
+        )
+
+    # Two pytree structures are possible for the state (with/without EMA);
+    # build the sharding lazily per call-structure via a wrapper.
+    jitted = {}
+
+    def dispatch(state: TrainState, batch: Batch, rng):
+        key = state.ema_params is not None
+        if key not in jitted:
+            sh = state_shardings(key)
+            jitted[key] = jax.jit(
+                train_step,
+                in_shardings=(sh, batch_shardings, repl),
+                out_shardings=(sh, repl),
+                donate_argnums=donate_argnums,
+            )
+        return jitted[key](state, batch, rng)
+
+    return dispatch
 
 
 class Trainer:
@@ -129,6 +161,8 @@ class Trainer:
         val_hook: Optional[Callable] = None,
         val_check_interval: Optional[int] = None,
         task_steps: Optional[int] = None,
+        shard_optimizer_states: bool = False,
+        example_params: Any = None,
     ):
         self.engine = engine
         self.tx = tx
@@ -149,7 +183,9 @@ class Trainer:
         self.ckpt = CheckpointManager(self.run_dir / "checkpoints", save_top_k)
         self.metrics_log = self.run_dir / "metrics.jsonl"
         self._train_step = make_train_step(
-            engine, tx, vae_params, num_context_views, mesh=mesh
+            engine, tx, vae_params, num_context_views, mesh=mesh,
+            shard_optimizer_states=shard_optimizer_states,
+            example_params=example_params,
         )
 
     def init_state(self, unet_params, rng: Optional[jax.Array] = None) -> TrainState:
