@@ -43,6 +43,7 @@ def build_engine(cfg: RootCfg, dtype: Optional[jnp.dtype] = None) -> DiffusionEn
         in_channels=in_ch,
         out_channels=latent_ch,
         dtype=dtype,
+        remat=cfg.trainer.remat,
     )
     vae = AutoencoderKL(model_cfg.autoencoder.kwargs, dtype=dtype)
     scheduler = get_scheduler(model_cfg.scheduler)

@@ -116,6 +116,10 @@ class TrainerCfg:
     accumulate_grad_batches: int = 1
     limit_test_batches: int = 32
     strategy: str = "data_parallel"
+    # Rematerialize the UNet forward in the backward pass (jax.checkpoint):
+    # ~33% extra step FLOPs for a large activation-memory cut. No reference
+    # counterpart (torch would use gradient checkpointing).
+    remat: bool = False
 
 
 ViewSamplerCfgUnion = Union[

@@ -153,6 +153,9 @@ class DiffusionEngine:
         #   static under jit, so this resolves at trace time).
         assert cfg_mode in ("sequential", "batched", "auto")
         self.cfg_mode = cfg_mode
+        # Training-only: rematerialize the UNet forward during backward
+        # (activation-memory for FLOPs trade; set via trainer.remat).
+        self.remat_unet = False
 
     def _resolve_cfg_mode(self, b: int) -> str:
         if self.cfg_mode != "auto":
@@ -309,9 +312,12 @@ class DiffusionEngine:
         )
         timesteps = jnp.where(is_target, timestep_target[:, None], 0)
 
-        pred = self.unet.apply(
-            {"params": unet_params}, inputs, timesteps, view_mask=view_mask
-        )
+        def apply_unet(p, x, t, m):
+            return self.unet.apply({"params": p}, x, t, view_mask=m)
+
+        if self.remat_unet:
+            apply_unet = jax.checkpoint(apply_unet)
+        pred = apply_unet(unet_params, inputs, timesteps, view_mask)
 
         # --- masked MSE over target views only (reference :401-408).
         sq = (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2

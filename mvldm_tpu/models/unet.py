@@ -105,6 +105,12 @@ class MultiViewUNet(nn.Module):
     in_channels: int = 11
     out_channels: int = 4
     dtype: jnp.dtype = jnp.float32
+    # Block-level rematerialization for training: each ResNet/transformer
+    # block's activations are recomputed in the backward pass instead of
+    # stored, bounding peak activation memory to ~one block (full-graph
+    # jax.checkpoint does NOT reduce peak - the recomputed forward must hold
+    # the same intermediates). Parameter structure is unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -150,14 +156,23 @@ class MultiViewUNet(nn.Module):
             name="conv_in",
         )(hidden)
 
+        if self.remat:
+            Resnet = nn.remat(ResnetBlock)
+            SDAttn = nn.remat(Transformer2D)
+            CrossView3D = nn.remat(SpatialTransformer3D)
+            CrossViewStd = nn.remat(StandardTransformer)
+        else:
+            Resnet, SDAttn = ResnetBlock, Transformer2D
+            CrossView3D, CrossViewStd = SpatialTransformer3D, StandardTransformer
+
         def cross_view(name: str, x: Array) -> Array:
             # Attention-block factory (reference denoiser/attention.py:8-27).
             mv_cfg = self.cfg.multi_view_attention
             if mv_cfg.name == "standard":
-                return StandardTransformer(
+                return CrossViewStd(
                     mv_cfg, dtype=self.dtype, name=name
                 )(x, view_mask=view_mask)
-            return SpatialTransformer3D(
+            return CrossView3D(
                 mv_cfg,
                 groups=cfg.norm_num_groups,
                 dtype=self.dtype,
@@ -181,12 +196,12 @@ class MultiViewUNet(nn.Module):
             out_ch = cfg.block_out_channels[i]
             has_attn = block_type == "CrossAttnDownBlock2D"
             for j in range(cfg.layers_per_block):
-                hidden = ResnetBlock(
+                hidden = Resnet(
                     out_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                     dtype=self.dtype, name=f"down_{i}_res_{j}",
                 )(hidden, temb)
                 if has_attn:
-                    hidden = Transformer2D(
+                    hidden = SDAttn(
                         cfg.num_attention_heads[i],
                         out_ch // cfg.num_attention_heads[i],
                         cfg.cross_attention_dim,
@@ -206,11 +221,11 @@ class MultiViewUNet(nn.Module):
 
         # 2b. Mid block.
         mid_ch = cfg.block_out_channels[-1]
-        hidden = ResnetBlock(
+        hidden = Resnet(
             mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
             dtype=self.dtype, name="mid_res_0",
         )(hidden, temb)
-        hidden = Transformer2D(
+        hidden = SDAttn(
             cfg.num_attention_heads[-1],
             mid_ch // cfg.num_attention_heads[-1],
             cfg.cross_attention_dim,
@@ -218,7 +233,7 @@ class MultiViewUNet(nn.Module):
             dtype=self.dtype,
             name="mid_attn",
         )(hidden, cond_state)
-        hidden = ResnetBlock(
+        hidden = Resnet(
             mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
             dtype=self.dtype, name="mid_res_1",
         )(hidden, temb)
@@ -236,12 +251,12 @@ class MultiViewUNet(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 hidden = jnp.concatenate([hidden, skip], axis=-1)
-                hidden = ResnetBlock(
+                hidden = Resnet(
                     out_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                     dtype=self.dtype, name=f"up_{i}_res_{j}",
                 )(hidden, temb)
                 if has_attn:
-                    hidden = Transformer2D(
+                    hidden = SDAttn(
                         list(reversed(cfg.num_attention_heads))[i],
                         out_ch // list(reversed(cfg.num_attention_heads))[i],
                         cfg.cross_attention_dim,

@@ -51,7 +51,7 @@ def scene_views_from_batch(batch_np, role: str, i: int = 0) -> SceneViews:
 
 def run_train(cfg: RootCfg) -> None:
     rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
-    engine = build_engine(cfg)
+    engine = build_engine(cfg)  # block-level remat via cfg.trainer.remat
     unet_params, vae_params = load_pretrained(cfg, engine, rng)
 
     step_tracker = StepTracker(cfg.train.step_offset)

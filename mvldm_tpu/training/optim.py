@@ -61,12 +61,16 @@ def build_optimizer(
     kwargs: Dict[str, Any] = optimizer_cfg.kwargs or {}
     name = optimizer_cfg.name
     if name == "AdamW":
+        import jax.numpy as jnp
+
+        mu_dtype = kwargs.get("mu_dtype")
         opt = optax.adamw(
             learning_rate=lr_schedule,
             b1=kwargs.get("betas", (0.9, 0.999))[0],
             b2=kwargs.get("betas", (0.9, 0.999))[1],
             eps=kwargs.get("eps", 1e-8),
             weight_decay=kwargs.get("weight_decay", 0.01),
+            mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
         )
     elif name == "Adam":
         opt = optax.adam(
