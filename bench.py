@@ -116,12 +116,16 @@ def main() -> None:
     ctx, tgt = make_scene(NUM_FRAMES)
     sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(1))
 
-    t0 = time.perf_counter()
-    results = sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(2))
-    dt = time.perf_counter() - t0
-    assert len(results) == NUM_FRAMES
+    # Mean of two measured passes (run-to-run variance on the tunneled chip
+    # is a few percent).
+    times = []
+    for i in (2, 3):
+        t0 = time.perf_counter()
+        results = sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(i))
+        times.append(time.perf_counter() - t0)
+        assert len(results) == NUM_FRAMES
 
-    fps = NUM_FRAMES / dt
+    fps = NUM_FRAMES / (sum(times) / len(times))
     print(
         json.dumps(
             {
