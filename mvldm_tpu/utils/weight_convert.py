@@ -288,6 +288,19 @@ _CROSS_VIEW_GROUPS = (
 def convert_mvldm_checkpoint(
     state_dict: Mapping[str, Any],
     layers_per_block: int = 2,
+    down_block_types=(
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    ),
+    up_block_types=(
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    ),
+    vae_layers_per_block: int = 2,
 ) -> Dict[str, Dict[str, Any]]:
     """Reference Lightning checkpoint -> {"unet": ..., "vae": ...} params.
 
@@ -300,7 +313,12 @@ def convert_mvldm_checkpoint(
         for k, v in state_dict.items()
         if k.startswith("denoiser.unet.")
     }
-    unet = convert_unet_state_dict(unet_sd, layers_per_block=layers_per_block)
+    unet = convert_unet_state_dict(
+        unet_sd,
+        down_block_types=down_block_types,
+        up_block_types=up_block_types,
+        layers_per_block=layers_per_block,
+    )
 
     for tprefix, template, count in _CROSS_VIEW_GROUPS:
         for i in range(count):
@@ -316,5 +334,5 @@ def convert_mvldm_checkpoint(
         for k, v in state_dict.items()
         if k.startswith("autoencoder.")
     }
-    vae = convert_vae_state_dict(vae_sd)
+    vae = convert_vae_state_dict(vae_sd, layers_per_block=vae_layers_per_block)
     return {"unet": unet, "vae": vae}
