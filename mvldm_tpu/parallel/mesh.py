@@ -31,9 +31,16 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_model
-    assert num_data * num_model == len(devices), (
-        f"mesh {num_data}x{num_model} != {len(devices)} devices"
-    )
+    if num_data * num_model != len(devices):
+        raise ValueError(
+            f"Requested a {num_data}(data) x {num_model}(model) mesh but only "
+            f"{len(devices)} JAX device(s) are visible "
+            f"({[d.platform for d in devices]}). On a host without that many "
+            "real chips, force virtual CPU devices before jax initializes: "
+            "set JAX_PLATFORMS=cpu and append "
+            f"--xla_force_host_platform_device_count={num_data * num_model} "
+            "to XLA_FLAGS (see tests/conftest.py)."
+        )
     arr = np.asarray(devices).reshape(num_data, num_model)
     return Mesh(arr, axis_names=("data", "model"))
 
