@@ -78,7 +78,6 @@ class TestCfg:
     """Reference ``model/config.py:58-63``."""
 
     output_dir: Path = Path("")
-    output_path: Path = Path("outputs/test")
     limit_frames: Optional[int] = None
     sampling_mode: Optional[Literal["anchored", "autoregressive"]] = None
     num_anchors_views: int = 4
@@ -99,6 +98,10 @@ class CheckpointingCfg:
     save_top_k: int = 1
     resume: bool = False
     save: bool = True
+    # val/test only: run with freshly-initialized weights when no checkpoint
+    # can be restored, instead of failing. Without this, a silent fallback to
+    # random init would emit noise images that look like a model bug.
+    allow_init_weights: bool = False
 
 
 @dataclass
@@ -373,10 +376,16 @@ def compose(
             raise ValueError(f"Malformed override: {ov!r}")
         key, _, raw = ov.partition("=")
         key = key.lstrip("+")
-        if "/" in key and (config_dir / key / f"{yaml.safe_load(raw)}.yaml").exists():
-            # Hydra group-override syntax: model/scheduler=ddpm REPLACES the
-            # whole group with that group file.
-            sub = _load_group(config_dir, key, yaml.safe_load(raw))
+        value = yaml.safe_load(raw)
+        if (
+            "." not in key
+            and isinstance(value, str)
+            and (config_dir / key / f"{value}.yaml").exists()
+        ):
+            # Hydra group-override syntax (dataset=re10k_non_iter,
+            # model/scheduler=ddpm) REPLACES the whole group with that
+            # group file.
+            sub = _load_group(config_dir, key, value)
             _set_path(cfg, key.replace("/", "."), sub)
         else:
             _set_path(cfg, key, yaml.safe_load(raw))

@@ -141,7 +141,15 @@ class DataModule:
             self.step_tracker,
             rng=rng,
         )
-        return DatasetRE10k(
+        # Registry dispatch by cfg.name (reference src/dataset/__init__.py:19
+        # maps both "re10k" and "re10k_non_iter").
+        if self.dataset_cfg.name == "re10k_non_iter":
+            from .dataset_re10kv2 import DatasetRE10kV2
+
+            dataset_cls = DatasetRE10kV2
+        else:
+            dataset_cls = DatasetRE10k
+        return dataset_cls(
             self.dataset_cfg,
             stage,
             sampler,

@@ -91,6 +91,12 @@ def run_train(cfg: RootCfg) -> None:
     run_dir = Path(cfg.output_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
+    val_hook = None
+    if cfg.trainer.validate and cfg.trainer.val_check_interval:
+        val_hook = make_val_hook(
+            cfg, engine, vae_params, run_dir, jax.random.fold_in(rng, 2)
+        )
+
     trainer = Trainer(
         engine,
         tx,
@@ -104,6 +110,7 @@ def run_train(cfg: RootCfg) -> None:
         use_ema=cfg.model.ema,
         step_tracker=step_tracker,
         mesh=mesh,
+        val_hook=val_hook,
         val_check_interval=cfg.trainer.val_check_interval,
         task_steps=cfg.trainer.task_steps,
         shard_optimizer_states=use_zero1,
@@ -112,6 +119,60 @@ def run_train(cfg: RootCfg) -> None:
     state = trainer.init_state(unet_params)
     state = trainer.maybe_restore(state)
     trainer.fit(state, jax.random.fold_in(rng, 1))
+
+
+def _render_val_batch(
+    engine, unet_params, vae_params, batch_np, out_dir: Path, rng
+) -> None:
+    """Render one validation batch (reference ``validation_step:492-544``):
+    camera frusta, context|GT|samples comparison grids, value histograms."""
+    from ..visualization.validation_in_3d import render_cameras
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cameras = hcat(*render_cameras(batch_np, 256))
+    save_image(cameras, out_dir / "cameras.png")
+
+    b = batch_np["context"]["image"].shape[0]
+    all_samples = []
+    all_targets = []
+    for i in range(b):
+        ctx = scene_views_from_batch(batch_np, "context", i)
+        tgt = scene_views_from_batch(batch_np, "target", i)
+        ctx1 = SceneViews(
+            ctx.images[:1], ctx.extrinsics[:1], ctx.intrinsics[:1],
+            ctx.index[:1],
+        )
+        extr = np.concatenate([ctx1.extrinsics, tgt.extrinsics], axis=0)
+        intr = np.concatenate([ctx1.intrinsics, tgt.intrinsics], axis=0)
+        out = engine.sample(
+            unet_params,
+            vae_params,
+            jnp.asarray(ctx1.images)[None],
+            jnp.asarray(extr)[None],
+            jnp.asarray(intr)[None],
+            num_target_views=len(tgt.index),
+            rng=jax.random.fold_in(rng, i),
+        )
+        samples = np.asarray(out[0])
+        grid = hcat(
+            add_label(vcat(*list(ctx1.images)), "Context Views"),
+            add_label(vcat(*list(tgt.images)), "Original Targets"),
+            add_label(vcat(*list(samples)), "Sampled Targets"),
+        )
+        scene = batch_np["scene"][i]
+        save_image(grid, out_dir / f"{scene}.png")
+        print(f"Wrote {out_dir / f'{scene}.png'}")
+        all_samples.append(samples)
+        all_targets.append(tgt.images)
+
+    # Value-distribution histograms (reference validation_step:534-544).
+    from ..visualization.color_map import get_hist_image
+
+    hist = hcat(
+        get_hist_image(np.concatenate(all_targets), title="Target Distribution"),
+        get_hist_image(np.concatenate(all_samples), title="Sampled Distribution"),
+    )
+    save_image(hist, out_dir / "distributions.png")
 
 
 def run_val(cfg: RootCfg) -> None:
@@ -123,57 +184,37 @@ def run_val(cfg: RootCfg) -> None:
 
     dm = build_data_module(cfg, StepTracker())
     out_dir = Path(cfg.output_dir) / "val"
-    out_dir.mkdir(parents=True, exist_ok=True)
 
     for batch_np in dm.val_dataloader():
-        # Camera frusta render (reference validation_step:500-503).
-        from ..visualization.validation_in_3d import render_cameras
-
-        cameras = hcat(*render_cameras(batch_np, 256))
-        save_image(cameras, out_dir / "cameras.png")
-
-        b = batch_np["context"]["image"].shape[0]
-        all_samples = []
-        all_targets = []
-        for i in range(b):
-            ctx = scene_views_from_batch(batch_np, "context", i)
-            tgt = scene_views_from_batch(batch_np, "target", i)
-            ctx1 = SceneViews(
-                ctx.images[:1], ctx.extrinsics[:1], ctx.intrinsics[:1],
-                ctx.index[:1],
-            )
-            extr = np.concatenate([ctx1.extrinsics, tgt.extrinsics], axis=0)
-            intr = np.concatenate([ctx1.intrinsics, tgt.intrinsics], axis=0)
-            out = engine.sample(
-                unet_params,
-                vae_params,
-                jnp.asarray(ctx1.images)[None],
-                jnp.asarray(extr)[None],
-                jnp.asarray(intr)[None],
-                num_target_views=len(tgt.index),
-                rng=jax.random.fold_in(rng, i),
-            )
-            samples = np.asarray(out[0])
-            grid = hcat(
-                add_label(vcat(*list(ctx1.images)), "Context Views"),
-                add_label(vcat(*list(tgt.images)), "Original Targets"),
-                add_label(vcat(*list(samples)), "Sampled Targets"),
-            )
-            scene = batch_np["scene"][i]
-            save_image(grid, out_dir / f"{scene}.png")
-            print(f"Wrote {out_dir / f'{scene}.png'}")
-            all_samples.append(samples)
-            all_targets.append(tgt.images)
-
-        # Value-distribution histograms (reference validation_step:534-544).
-        from ..visualization.color_map import get_hist_image
-
-        hist = hcat(
-            get_hist_image(np.concatenate(all_targets), title="Target Distribution"),
-            get_hist_image(np.concatenate(all_samples), title="Sampled Distribution"),
-        )
-        save_image(hist, out_dir / "distributions.png")
+        _render_val_batch(engine, unet_params, vae_params, batch_np, out_dir, rng)
         break  # one batch, like the reference's limited val
+
+
+def make_val_hook(cfg: RootCfg, engine, vae_params, run_dir: Path, rng):
+    """In-training validation callback (reference runs ``validation_step``
+    every ``val_check_interval`` steps during fit,
+    ``diffusion_wrapper.py:492-544``): sample one val batch with the current
+    (EMA when configured) weights and write the grids under
+    ``<run_dir>/val/step_<n>/``."""
+    # A fresh DataModule so the val stream is independent of training's.
+    dm = build_data_module(cfg, StepTracker())
+
+    def val_hook(state, step: int) -> None:
+        params = state.params
+        if cfg.model.use_ema_sampling and state.ema_params is not None:
+            params = state.ema_params
+        for batch_np in dm.val_dataloader():
+            _render_val_batch(
+                engine,
+                params,
+                vae_params,
+                batch_np,
+                run_dir / "val" / f"step_{step}",
+                jax.random.fold_in(rng, step),
+            )
+            break
+
+    return val_hook
 
 
 def _load_eval_params(cfg: RootCfg, engine, rng):
@@ -181,7 +222,9 @@ def _load_eval_params(cfg: RootCfg, engine, rng):
     With ``model.use_ema_sampling`` the EMA parameter tree is used when the
     checkpoint has one (reference ``sample():460-465``)."""
     unet_params, vae_params = load_pretrained(cfg, engine, rng)
+    loaded_torch_ckpt = cfg.checkpointing.load is not None
     ckpt_dir = Path(cfg.output_dir) / "checkpoints"
+    latest = None
     if ckpt_dir.exists():
         mgr = CheckpointManager(ckpt_dir)
         latest = mgr.latest_step()
@@ -197,12 +240,30 @@ def _load_eval_params(cfg: RootCfg, engine, rng):
                 }
                 key = "ema_params"
             try:
-                restored = mgr.restore(latest, target)
+                restored = mgr.restore_partial(latest, target)
+            except Exception as e:
+                # A failed restore silently emitting noise images looks like
+                # a model bug; hard-fail unless explicitly overridden
+                # (checkpointing.allow_init_weights=true).
+                if not cfg.checkpointing.allow_init_weights:
+                    raise RuntimeError(
+                        f"Restoring checkpoint step {latest} from {ckpt_dir} "
+                        f"failed: {e}. Pass "
+                        "checkpointing.allow_init_weights=true to run with "
+                        "freshly-initialized weights anyway."
+                    ) from e
+                print(f"Checkpoint restore failed ({e}); using init weights "
+                      "(checkpointing.allow_init_weights=true)")
+            else:
                 unet_params = jax.tree_util.tree_map(jnp.asarray, restored[key])
                 if key == "ema_params":
                     print("Using EMA weights for sampling")
-            except Exception as e:
-                print(f"Checkpoint restore failed ({e}); using init weights")
+    if latest is None and not loaded_torch_ckpt:
+        print(
+            "WARNING: no checkpoint found (no checkpointing.load and no orbax "
+            f"state under {ckpt_dir}) — sampling with INIT weights; outputs "
+            "will be noise."
+        )
     return unet_params, vae_params
 
 

@@ -64,6 +64,17 @@ class CheckpointManager:
     def restore(self, step: int, target: Dict[str, Any]) -> Dict[str, Any]:
         return self._ckpt.restore(self._step_dir(step).absolute(), target=target)
 
+    def restore_partial(self, step: int, target: Dict[str, Any]) -> Dict[str, Any]:
+        """Restore only the keys present in ``target`` from a checkpoint that
+        holds a larger tree (e.g. the params/ema_params subtree of a full
+        TrainState save) — eval loads weights without materializing optimizer
+        moments."""
+        ckpt = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        return ckpt.restore(
+            self._step_dir(step).absolute(),
+            args=ocp.args.PyTreeRestore(item=target, partial_restore=True),
+        )
+
 
 def load_torch_checkpoint_params(path: Path) -> Dict[str, Dict]:
     """Load a reference Lightning ``.ckpt`` and convert to flax params

@@ -84,7 +84,19 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         ema_params = state.ema_params
         if ema_params is not None:
-            ema_params = ema_update(ema_params, params, ema_decay)
+            # Under optax.MultiSteps, params only change on every k-th
+            # micro-step; decay the EMA only on those applied steps (the
+            # reference updates EMA once per optimizer step,
+            # diffusion_wrapper.py:152-154). mini_step wraps to 0 exactly
+            # when the inner update was emitted.
+            decayed = ema_update(ema_params, params, ema_decay)
+            if hasattr(opt_state, "mini_step"):
+                applied = opt_state.mini_step == 0
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, d: jnp.where(applied, d, e), ema_params, decayed
+                )
+            else:
+                ema_params = decayed
         new_state = TrainState(
             params=params,
             opt_state=opt_state,

@@ -174,3 +174,30 @@ class TestDataModule:
         assert batch["context"]["image"].shape == (2, 2, 256, 256, 3)
         assert batch["target"]["image"].shape == (2, 3, 256, 256, 3)
         assert len(batch["scene"]) == 2
+
+
+class TestDatasetDispatch:
+    def test_config_driven_re10k_non_iter(self, data_root):
+        """configs/dataset/re10k_non_iter.yaml routes DataModule to the
+        map-style DatasetRE10kV2 (reference src/dataset/__init__.py:19)."""
+        from mvldm_tpu.config import compose, load_typed_root_config
+        from mvldm_tpu.data.dataset_re10kv2 import DatasetRE10kV2
+
+        cfg_dict = compose(
+            [
+                "dataset=re10k_non_iter",
+                "dataset/view_sampler=bounded",
+                f"dataset.root={data_root}",
+                "dataset.view_sampler.min_distance_between_context_views=5",
+                "dataset.view_sampler.max_distance_between_context_views=15",
+                "dataset.view_sampler.num_context_views=2",
+                "dataset.view_sampler.num_target_views=3",
+            ]
+        )
+        cfg = load_typed_root_config(cfg_dict)
+        assert cfg.dataset.name == "re10k_non_iter"
+        dm = DataModule(cfg.dataset, cfg.dataset.view_sampler, cfg.data_loader)
+        ds = dm._dataset("test", 0)
+        assert isinstance(ds, DatasetRE10kV2)
+        batch = next(iter(dm.test_dataloader()))
+        assert batch["context"]["image"].shape == (1, 2, 256, 256, 3)

@@ -36,6 +36,10 @@ class TestEndToEnd:
                 "data_loader.train.batch_size=2",
                 "checkpointing.every_n_train_steps=2",
                 "trainer.accumulate_grad_batches=1",
+                # In-training validation fires at step 2 (reference runs
+                # validation_step every val_check_interval during fit).
+                "trainer.val_check_interval=2",
+                "data_loader.val.batch_size=1",
                 # Sharded training compiles are covered by
                 # test_training.py::TestShardedTrainStep and the driver
                 # dryrun; the 8-way SPMD compile of the full train graph is
@@ -50,6 +54,11 @@ class TestEndToEnd:
         assert records[-1]["step"] == 2
         assert np.isfinite(records[-1]["loss/diffusion"])
         assert (run_dir / "checkpoints" / "step_000000002").exists()
+        # Periodic validation artifacts (frusta + comparison grid + hists).
+        val_dir = run_dir / "val" / "step_2"
+        assert (val_dir / "cameras.png").exists()
+        assert (val_dir / "distributions.png").exists()
+        assert len(list(val_dir.glob("scene*.png"))) == 1
 
         # --- anchored video sampling of one scene, resuming the checkpoint.
         main_script.main(

@@ -200,3 +200,40 @@ class TestCheckpoint:
             mgr.save(step, {"x": np.asarray(step)})
         assert mgr.all_steps() == [3]
         assert mgr.latest_step() == 3
+
+
+class TestEMAWithAccumulation:
+    def test_ema_frozen_between_applied_steps(self, tiny_engine):
+        """With accumulate_grad_batches=2, the EMA must not decay on the
+        non-applied micro-step (reference updates EMA once per optimizer
+        step, diffusion_wrapper.py:152-154)."""
+        opt_cfg = OptimizerCfg(name="AdamW", lr=1e-4, scale_lr=False)
+        engine, unet_params, vae_params = tiny_engine
+        tx = build_optimizer(
+            opt_cfg, build_lr_schedule(1e-4, None),
+            gradient_clip_val=0.1, accumulate_grad_batches=2,
+        )
+        step_fn = make_train_step(
+            engine, tx, vae_params, num_context_views=2, donate=False
+        )
+        state = TrainState(
+            params=unet_params,
+            opt_state=tx.init(unet_params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, unet_params),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        batch = make_batch(jax.random.PRNGKey(0))
+        s1, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+        unchanged = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.all(a == b)), state.ema_params, s1.ema_params
+        )
+        assert all(jax.tree_util.tree_leaves(unchanged)), (
+            "EMA moved on a non-applied accumulation micro-step"
+        )
+        s2, _ = step_fn(s1, batch, jax.random.PRNGKey(2))
+        moved = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.any(a != b)), s1.ema_params, s2.ema_params
+        )
+        assert any(jax.tree_util.tree_leaves(moved)), (
+            "EMA did not move on the applied optimizer step"
+        )
