@@ -306,19 +306,65 @@ def _set_path(cfg: Dict, dotted: str, value: Any) -> None:
     node[parts[-1]] = value
 
 
+def _package_of(path: Path) -> Optional[str]:
+    """Parse a Hydra ``# @package <pkg>`` directive from a file's header."""
+    with open(path) as f:
+        for line in f:
+            stripped = line.strip()
+            if not stripped:
+                continue
+            if stripped.startswith("#"):
+                comment = stripped.lstrip("#").strip()
+                if comment.startswith("@package"):
+                    return comment.split()[-1]
+                continue
+            break
+    return None
+
+
 def _load_group(config_dir: Path, group: str, name: str) -> Dict:
     """Load a group file and resolve its own nested defaults."""
+    data, is_global, _ = _load_group_packaged(config_dir, group, name)
+    assert not is_global, (
+        f"{group}/{name} is '@package _global_'; load it with "
+        "_load_group_packaged"
+    )
+    return data
+
+
+def _load_group_packaged(
+    config_dir: Path, group: str, name: str
+) -> tuple[Dict, bool, List[tuple[str, Dict]]]:
+    """Load a group file. Returns (data, is_global, replacements): for
+    ``# @package _global_`` files (e.g. the evaluation group, reference
+    ``config/evaluation/re10k_video.yaml``) the data is rooted at the config
+    top level and each ``override /other_group: choice`` default becomes an
+    ordered (dotted_path, group_data) REPLACEMENT the caller applies before
+    merging the data (Hydra group-choice semantics — a choice replaces the
+    package, it never inherits keys from the previous choice). For ordinary
+    files the data belongs under the group key and replacements is empty."""
     path = config_dir / group / f"{name}.yaml"
     with open(path) as f:
         data = yaml.safe_load(f) or {}
+    is_global = _package_of(path) == "_global_"
     defaults = data.pop("defaults", [])
     resolved: Dict = {}
+    replacements: List[tuple[str, Dict]] = []
     for entry in defaults:
-        if isinstance(entry, dict):
-            for sub_group, sub_name in entry.items():
+        if not isinstance(entry, dict):
+            continue
+        for sub_group, sub_name in entry.items():
+            if is_global:
+                g = sub_group
+                if g.startswith("override"):
+                    g = g[len("override"):].strip()
+                g = g.lstrip("/")
+                sub = _load_group(config_dir, g, sub_name)
+                replacements.append((g.replace("/", "."), sub))
+            else:
                 sub = _load_group(config_dir, f"{group}/{sub_group}", sub_name)
                 resolved = _deep_merge(resolved, {sub_group: sub})
-    return _deep_merge(resolved, data)
+    return _deep_merge(resolved, data), is_global, replacements
 
 
 def compose(
@@ -362,10 +408,11 @@ def compose(
         exp_datas.append(exp_data)
 
     for group, name in group_choices.items():
+        # A group choice REPLACES the group's package (Hydra semantics):
+        # 'dataset/view_sampler: evaluation' must not inherit keys from the
+        # bounded sampler that 'dataset: re10k' nested-defaulted earlier.
         sub = _load_group(config_dir, group, name)
-        node: Dict = {}
-        _set_path(node, group.replace("/", "."), sub)
-        cfg = _deep_merge(cfg, node)
+        _set_path(cfg, group.replace("/", "."), sub)
 
     cfg = _deep_merge(cfg, main)
     for exp_data in exp_datas:
@@ -384,9 +431,18 @@ def compose(
         ):
             # Hydra group-override syntax (dataset=re10k_non_iter,
             # model/scheduler=ddpm) REPLACES the whole group with that
-            # group file.
-            sub = _load_group(config_dir, key, value)
-            _set_path(cfg, key.replace("/", "."), sub)
+            # group file; '@package _global_' group files (+evaluation=...)
+            # first apply their 'override /group' choices as replacements,
+            # then merge their data at the top level.
+            sub, is_global, replacements = _load_group_packaged(
+                config_dir, key, value
+            )
+            if is_global:
+                for dotted, group_data in replacements:
+                    _set_path(cfg, dotted, group_data)
+                cfg = _deep_merge(cfg, sub)
+            else:
+                _set_path(cfg, key.replace("/", "."), sub)
         else:
             _set_path(cfg, key, yaml.safe_load(raw))
     return cfg

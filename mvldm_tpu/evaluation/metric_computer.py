@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, Iterable, List, Optional, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +25,7 @@ from .metrics import compute_psnr, compute_ssim, get_dists, get_lpips
 
 @dataclass
 class MethodCfg:
-    """Reference ``evaluation_cfg.py``."""
+    """Reference ``evaluation_cfg.py:6-9``."""
 
     name: str
     key: str
@@ -33,29 +33,54 @@ class MethodCfg:
 
 
 @dataclass
+class ModalityCfg:
+    """Reference ``evaluation_cfg.py:13-15``."""
+
+    name: str
+    key: str
+
+
+@dataclass
 class SceneCfg:
+    """A highlighted scene (reference ``evaluation_cfg.py:19-22``)."""
+
     scene: str
-    target_index: List[int]
+    context_index: List[int] = field(default_factory=list)
+    target_index: Union[int, List[int]] = field(default_factory=list)
 
 
 @dataclass
 class EvaluationCfg:
+    """Reference ``evaluation_cfg.py:42-47``."""
+
     methods: List[MethodCfg]
     side_by_side_path: Optional[Path] = None
     animate_side_by_side: bool = False
-    highlighted: List[str] = field(default_factory=list)
+    highlighted: List[SceneCfg] = field(default_factory=list)
+    modalities: Optional[List[ModalityCfg]] = None
+    # MET3R/MASt3R weights path; config-surface parity with the reference's
+    # evaluation yamls (unused unless MVC metrics are computed).
+    weights: Optional[str] = None
 
 
 class MetricComputer:
     """Walks ``<gt_dir>/<scene>/*.png`` against each method's
     ``<method_path>/<scene>/color/*.png``."""
 
-    def __init__(self, cfg: EvaluationCfg, gt_dir: Path,
+    def __init__(self, cfg: EvaluationCfg, gt_dir: Optional[Path] = None,
                  lpips_weights: Optional[Path] = None):
         self.cfg = cfg
-        self.gt_dir = Path(gt_dir)
+        self.gt_dir = Path(gt_dir) if gt_dir is not None else None
         self.lpips = get_lpips(lpips_weights)
         self.dists = get_dists(lpips_weights)
+        from .fid import vgg_feature_extractor
+
+        self.fid_extractor = vgg_feature_extractor(lpips_weights)
+        # Per-scene scores, reference layout (metric_computer.py:26):
+        # scores[metric][scene][method_key] = value.
+        self.scores: Dict[str, Dict[str, Dict[str, float]]] = {}
+        self._running: Dict[str, float] = {}
+        self._running_steps = 0
 
     def _scene_frames(self, scene_dir: Path) -> Dict[int, Path]:
         return {
@@ -112,6 +137,154 @@ class MetricComputer:
             }
             results[method.key]["num_scenes"] = counts[method.key]
         return results
+
+
+    # ------------------------------------------------- dataset-driven loop
+
+    def _frame_metrics(
+        self, gt: np.ndarray, pred: np.ndarray
+    ) -> Dict[str, float]:
+        """All available metrics over matched (n, h, w, 3) stacks."""
+        metrics = {
+            "psnr": float(jnp.mean(compute_psnr(gt, pred))),
+            "ssim": float(jnp.mean(compute_ssim(gt, pred))),
+        }
+        if self.lpips is not None:
+            metrics["lpips"] = float(jnp.mean(self.lpips(gt, pred)))
+        if self.dists is not None:
+            metrics["dists"] = float(jnp.mean(self.dists(gt, pred)))
+        if self.fid_extractor is not None and len(gt) >= 2:
+            # Per-scene FID, like the reference's update/compute/reset cycle
+            # (metric_computer.py:65-68). The extractor is the VGG trunk, not
+            # Inception — keyed distinctly so numbers are never confused with
+            # published Inception-FID (see fid.py docstring).
+            from .fid import frechet_distance
+
+            metrics["fid_vgg"] = frechet_distance(
+                self.fid_extractor(gt), self.fid_extractor(pred)
+            )
+        return metrics
+
+    def _record(self, scene: str, key: str, metrics: Dict[str, float]) -> None:
+        for metric, value in metrics.items():
+            self.scores.setdefault(metric, {}).setdefault(scene, {})[key] = value
+
+    def _print_running(self, metrics: Dict[str, float]) -> None:
+        """Running-mean preview table (reference
+        ``print_preview_metrics:125-146``)."""
+        if not self._running:
+            self._running = dict(metrics)
+        else:
+            s = self._running_steps
+            for k, v in metrics.items():
+                prev = self._running.get(k, v)
+                self._running[k] = (s * prev + v) / (s + 1)
+        self._running_steps += 1
+
+        from tabulate import tabulate
+
+        metric_names = ("psnr", "lpips", "dists", "ssim", "fid_vgg")
+        table = []
+        for method in self.cfg.methods:
+            row = [
+                f"{self._running[f'{m}_{method.key}']:.3f}"
+                if f"{m}_{method.key}" in self._running else "-"
+                for m in metric_names
+            ]
+            table.append((method.key, *row))
+        print(tabulate(table, ["Method", "PSNR (dB)", "LPIPS", "DISTS",
+                               "SSIM", "FID(VGG)"]))
+
+    def compute_over_dataset(
+        self,
+        batches: Iterable[dict],
+        limit_test_batches: Optional[int] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """Reference ``MetricComputer.test_step`` (metric_computer.py:27-123):
+        iterate test batches (GT from the datamodule), load each method's
+        rendered frames from ``<path>/<scene>/color/<index>.png``, compute
+        per-scene metrics, keep running means + per-scene ``self.scores``,
+        optionally write side-by-side grids."""
+        sums: Dict[str, Dict[str, float]] = {m.key: {} for m in self.cfg.methods}
+        counts: Dict[str, int] = {m.key: 0 for m in self.cfg.methods}
+
+        for batch_idx, batch in enumerate(batches):
+            if limit_test_batches is not None and batch_idx >= limit_test_batches:
+                break
+            scenes = batch["scene"]
+            gt_images = np.asarray(batch["target"]["image"])  # (b, v, h, w, 3)
+            indices = np.asarray(batch["target"]["index"])    # (b, v)
+            b = len(scenes)
+
+            all_images: Dict[str, list] = {}
+            batch_metrics: Dict[str, float] = {}
+            for method in self.cfg.methods:
+                loaded = []
+                try:
+                    for j in range(b):
+                        loaded.append(np.stack([
+                            load_image(
+                                Path(method.path) / scenes[j] / "color"
+                                / f"{int(idx):0>6}.png"
+                            )
+                            for idx in indices[j]
+                        ]))
+                except (FileNotFoundError, OSError) as e:
+                    # Skip scenes with missing renders, like the reference's
+                    # try/except (metric_computer.py:43-55) — but say why.
+                    print(f'Skipping "{scenes}" for {method.key}: {e}')
+                    continue
+                all_images[method.key] = loaded
+                for j in range(b):
+                    metrics = self._frame_metrics(gt_images[j], loaded[j])
+                    self._record(scenes[j], method.key, metrics)
+                    for k, v in metrics.items():
+                        acc = sums[method.key]
+                        acc[k] = acc.get(k, 0.0) + v
+                        batch_metrics[f"{k}_{method.key}"] = v
+                    counts[method.key] += 1
+            if batch_metrics:
+                self._print_running(batch_metrics)
+
+            if self.cfg.side_by_side_path is not None and all_images:
+                self._save_side_by_side(batch_idx, batch, all_images)
+
+        results = {}
+        for method in self.cfg.methods:
+            n = max(counts[method.key], 1)
+            results[method.key] = {k: v / n for k, v in sums[method.key].items()}
+            results[method.key]["num_scenes"] = counts[method.key]
+        return results
+
+    def _save_side_by_side(
+        self, batch_idx: int, batch: dict, all_images: Dict[str, list]
+    ) -> None:
+        """GT | method1 | method2 … rows (reference metric_computer.py:90-123)."""
+        from ..visualization.annotation import add_label
+        from ..visualization.layout import add_border, hcat
+
+        scenes = batch["scene"]
+        gt_images = np.asarray(batch["target"]["image"])
+        indices = np.asarray(batch["target"]["index"])
+        scene_key = f"{batch_idx:0>6}_{scenes[0]}"
+        out_dir = Path(self.cfg.side_by_side_path) / scene_key
+        v = gt_images.shape[1]
+        frames = []
+        for i in range(v):
+            row = [add_label(gt_images[0, i], "Ground Truth")]
+            for method in self.cfg.methods:
+                if method.key in all_images:
+                    row.append(
+                        add_label(all_images[method.key][0][i], method.name)
+                    )
+            grid = add_border(hcat(*row))
+            save_image(grid, out_dir / f"{int(indices[0, i]):0>6}.png")
+            frames.append(grid)
+        if self.cfg.animate_side_by_side:
+            from ..utils.image_io import save_video
+
+            videos_dir = Path(self.cfg.side_by_side_path) / "videos"
+            save_video(frames, videos_dir / f"{scene_key}.mp4", fps=30)
 
 
 class GTSaver:

@@ -1,5 +1,17 @@
 """Metric computation entry point (reference
-``src/scripts/compute_metrics.py:34-52``):
+``src/scripts/compute_metrics.py:34-52``).
+
+Hydra-style surface (the reference's documented CLI):
+
+    python -m mvldm_tpu.scripts.compute_metrics +evaluation=re10k_video \\
+        dataset.root=<path> \\
+        'evaluation.methods=[{name: ours, key: ours, path: outputs/test}]'
+
+GT comes from the test datamodule (evaluation view sampler over the video
+index), methods' renders from ``<path>/<scene>/color/<index>.png``; dumps
+``output_metrics_path`` + ``per_scene_metrics_path``.
+
+Argparse sugar (directory-vs-directory, no dataset required):
 
     python -m mvldm_tpu.scripts.compute_metrics \\
         --gt-dir outputs/gt --method ours=outputs/run1/video \\
@@ -9,8 +21,18 @@
 from __future__ import annotations
 
 import argparse
+import sys
+from dataclasses import dataclass, field
 from pathlib import Path
+from typing import Optional
 
+from ..config import (
+    DatasetCfg,
+    compose,
+    from_dict,
+    set_cfg,
+)
+from ..data.loader import DataLoaderCfg
 from ..evaluation.metric_computer import (
     EvaluationCfg,
     MethodCfg,
@@ -19,7 +41,52 @@ from ..evaluation.metric_computer import (
 )
 
 
-def main(argv=None) -> None:
+@dataclass
+class ComputeMetricsCfg:
+    """Reference ``compute_metrics.py:24-32`` RootCfg."""
+
+    evaluation: EvaluationCfg
+    dataset: DatasetCfg = field(default_factory=DatasetCfg)
+    data_loader: DataLoaderCfg = field(default_factory=DataLoaderCfg)
+    seed: int = 0
+    output_metrics_path: Path = Path("outputs/evaluation_metrics.json")
+    per_scene_metrics_path: Path = Path("outputs/per_scene_metrics.json")
+    output_fid_path: Path = Path("outputs/fid.json")
+    fid_gt_dir: Path = Path("gt_images")
+    limit_test_batches: Optional[int] = 32
+    lpips_weights: Optional[Path] = None
+
+
+def load_compute_metrics_cfg(overrides) -> ComputeMetricsCfg:
+    cfg_dict = compose(overrides, main_name="compute_metrics")
+    set_cfg(cfg_dict)
+    return from_dict(ComputeMetricsCfg, cfg_dict, "root")
+
+
+def run_hydra(overrides) -> None:
+    from ..data.view_samplers import StepTracker
+    from .main import build_data_module
+
+    cfg = load_compute_metrics_cfg(overrides)
+    if not cfg.evaluation.methods:
+        raise SystemExit(
+            "evaluation.methods is empty — pass e.g. "
+            "'evaluation.methods=[{name: ours, key: ours, path: outputs/test}]'"
+        )
+    computer = MetricComputer(cfg.evaluation, lpips_weights=cfg.lpips_weights)
+    dm = build_data_module(cfg, StepTracker())
+    results = computer.compute_over_dataset(
+        dm.test_dataloader(), cfg.limit_test_batches
+    )
+    save_metrics_json(results, cfg.output_metrics_path)
+    save_metrics_json(computer.scores, cfg.per_scene_metrics_path)
+    print(f"\nResults -> {cfg.output_metrics_path}")
+    print(f"Per-scene -> {cfg.per_scene_metrics_path}")
+    for key, metrics in results.items():
+        print(f"  {key}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+
+
+def run_argparse(argv) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--gt-dir", type=Path, required=True)
     parser.add_argument(
@@ -45,6 +112,14 @@ def main(argv=None) -> None:
     print(f"\nResults -> {args.output}")
     for key, metrics in results.items():
         print(f"  {key}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+
+
+def main(argv=None) -> None:
+    argv = list(argv if argv is not None else sys.argv[1:])
+    if any(a.startswith("--") for a in argv):
+        run_argparse(argv)
+    else:
+        run_hydra(argv)
 
 
 if __name__ == "__main__":

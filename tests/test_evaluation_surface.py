@@ -1,0 +1,150 @@
+"""The Hydra-style evaluation surface (reference
+``config/evaluation/*.yaml`` + ``src/scripts/compute_metrics.py:34-38``):
+``+evaluation=re10k_video`` composes a global-package group, the metric
+computer runs against the test datamodule, and outputs land in the
+configured JSON paths."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from synthetic_data import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def eval_setup(tmp_path_factory):
+    """Synthetic dataset + evaluation index + a fake method render tree."""
+    root = write_synthetic_dataset(
+        tmp_path_factory.mktemp("re10k"), frames_per_scene=12
+    )
+    index = {
+        "scenetest0000": {"context": [0], "target": [1, 2, 3]},
+        "scenetest0001": {"context": [0], "target": [2, 4, 6]},
+    }
+    index_path = tmp_path_factory.mktemp("index") / "eval_index.json"
+    index_path.write_text(json.dumps(index))
+    return root, index_path, index
+
+
+class TestEvaluationConfigSurface:
+    def test_compose_evaluation_group(self):
+        from mvldm_tpu.config import compose
+        from mvldm_tpu.scripts.compute_metrics import load_compute_metrics_cfg
+
+        cfg = load_compute_metrics_cfg(
+            [
+                "+evaluation=re10k_video",
+                "dataset.root=/tmp/nonexistent",
+                "evaluation.methods=[{name: ours, key: ours, path: out}]",
+            ]
+        )
+        # The global-package file replaced the view-sampler group cleanly —
+        # no bounded-sampler keys leaked into the evaluation sampler.
+        assert cfg.dataset.view_sampler.name == "evaluation"
+        assert cfg.dataset.view_sampler.index_path == Path(
+            "assets/evaluation_index/re10k_video.json"
+        )
+        assert cfg.evaluation.methods[0].key == "ours"
+        assert cfg.evaluation.highlighted[0].scene == "bf756257ffdd0017"
+        assert str(cfg.output_metrics_path).endswith(
+            "re10k_video/evaluation_metrics.json"
+        )
+        # Sibling protocols compose too.
+        for name in ("re10k_video_100", "re10k_video_150", "re10k_video_all",
+                     "re10k_video_anchor"):
+            d = compose([f"+evaluation={name}"], main_name="compute_metrics")
+            assert d["dataset"]["view_sampler"]["name"] == "evaluation"
+
+    def test_shipped_video_index_matches_reference_protocol(self):
+        path = Path("assets/evaluation_index/re10k_video.json")
+        index = json.loads(path.read_text())
+        assert len(index) == 1616  # SURVEY.md §2.1 / BASELINE.md
+        entry = next(iter(index.values()))[0]
+        assert entry["context"] == [0]
+
+    def test_compute_metrics_end_to_end(self, eval_setup, tmp_path):
+        """GT from the datamodule vs a render tree; running table + JSONs."""
+        from mvldm_tpu.scripts import compute_metrics, generate_gt
+
+        root, index_path, index = eval_setup
+
+        # Build the method render tree from dumped GT (slightly noised so
+        # metrics are finite and non-degenerate).
+        gt_dir = tmp_path / "gt"
+        generate_gt.main(
+            [
+                f"dataset.root={root}",
+                f"output_dir={gt_dir}",
+                "dataset/view_sampler=evaluation",
+                f"dataset.view_sampler.index_path={index_path}",
+                "dataset.image_shape=[32,32]",
+                "trainer.limit_test_batches=2",
+            ]
+        )
+        method_dir = tmp_path / "renders"
+        rng = np.random.default_rng(0)
+        n_pngs = 0
+        for scene_dir in gt_dir.iterdir():
+            from mvldm_tpu.utils.image_io import load_image, save_image
+
+            for png in scene_dir.glob("*.png"):
+                img = load_image(png)
+                noisy = np.clip(
+                    img + 0.05 * rng.normal(size=img.shape), 0, 1
+                ).astype(np.float32)
+                save_image(
+                    noisy, method_dir / scene_dir.name / "color" / png.name
+                )
+                n_pngs += 1
+        assert n_pngs == 6  # 2 scenes x 3 targets
+
+        out_metrics = tmp_path / "metrics.json"
+        out_scenes = tmp_path / "per_scene.json"
+        compute_metrics.main(
+            [
+                "+evaluation=re10k_video",
+                f"dataset.root={root}",
+                f"dataset.view_sampler.index_path={index_path}",
+                "dataset.image_shape=[32,32]",
+                f"evaluation.methods=[{{name: ours, key: ours, path: {method_dir}}}]",
+                f"output_metrics_path={out_metrics}",
+                f"per_scene_metrics_path={out_scenes}",
+                "limit_test_batches=2",
+            ]
+        )
+        results = json.loads(out_metrics.read_text())
+        assert results["ours"]["num_scenes"] == 2
+        assert 10 < results["ours"]["psnr"] < 40
+        assert 0 < results["ours"]["ssim"] <= 1
+        per_scene = json.loads(out_scenes.read_text())
+        assert set(per_scene["psnr"]) == {"scenetest0000", "scenetest0001"}
+        assert "ours" in per_scene["psnr"]["scenetest0000"]
+
+    def test_missing_renders_are_skipped_loudly(self, eval_setup, tmp_path, capsys):
+        from mvldm_tpu.scripts import compute_metrics
+
+        root, index_path, _ = eval_setup
+        out_metrics = tmp_path / "metrics.json"
+        compute_metrics.main(
+            [
+                "+evaluation=re10k_video",
+                f"dataset.root={root}",
+                f"dataset.view_sampler.index_path={index_path}",
+                "dataset.image_shape=[32,32]",
+                "evaluation.methods=[{name: ours, key: ours, path: /nonexistent}]",
+                f"output_metrics_path={out_metrics}",
+                f"per_scene_metrics_path={tmp_path / 'scenes.json'}",
+                "limit_test_batches=2",
+            ]
+        )
+        results = json.loads(out_metrics.read_text())
+        assert results["ours"]["num_scenes"] == 0
+        assert "Skipping" in capsys.readouterr().out
+
+    def test_empty_methods_fails_fast(self):
+        from mvldm_tpu.scripts import compute_metrics
+
+        with pytest.raises(SystemExit, match="methods is empty"):
+            compute_metrics.main(["+evaluation=re10k_video"])
