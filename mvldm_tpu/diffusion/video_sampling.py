@@ -4,9 +4,11 @@ Host-side orchestration around the jitted DDIM sampler, re-creating the
 reference's two strategies (``test_video_anchored:644-902`` and
 ``test_video_autoregressive:904-1055``):
 
-* **anchored** — generate ``num_anchors_views`` strided anchor views from the
-  single context frame, then fill the remaining frames in groups of three,
-  each conditioned on [context0, nearest anchor].
+* **anchored** — generate ``num_anchors_views`` strided anchor views (up to
+  four from the single context frame; further anchors in chained windows of
+  three, each conditioned on [context0, previous anchor] — reference
+  ``diffusion_wrapper.py:744-792``), then fill the remaining frames in
+  groups of three, each conditioned on [context0, nearest anchor].
 * **autoregressive** — first four targets from the context, then sliding
   windows of three conditioned on [context0, last generated frame].
 
@@ -197,12 +199,51 @@ class VideoSampler:
         anchor_pos = anchor_pos[anchor_pos < n_t]
 
         results: Dict[int, np.ndarray] = {}
+
+        # Anchor generation. The first window draws up to four anchors from
+        # the context alone; when num_anchors_views > 4 the remaining anchors
+        # are generated in chained windows of three, each conditioned on
+        # [context0, the previous window's last anchor] — the reference's
+        # chained-anchor structure (diffusion_wrapper.py:744-792). Documented
+        # deviation: the reference's chained loop samples each window with
+        # the extrinsics of target slice [start:end:anchor_step] but labels
+        # the outputs with indices [start+4*anchor_step : end+4*anchor_step]
+        # (diffusion_wrapper.py:753-767 vs :748) — frames rendered at one
+        # pose, saved under another. Here the conditioning poses and the
+        # saved indices refer to the same anchor positions.
+        first_n = min(len(anchor_pos), 4)
+        first_bucket = min(self.num_anchors, 4)
         rng, k = jax.random.split(rng)
-        anchor_views = self._take(target, anchor_pos)
-        anchor_padded, real = self._pad_group(anchor_views, self.num_anchors)
-        anchor_images = self._run(context, anchor_padded, rel_index=0, rng=k)[:real]
-        for i, pos in enumerate(anchor_pos):
+        first_views = self._take(target, anchor_pos[:first_n])
+        first_padded, real = self._pad_group(first_views, first_bucket)
+        anchor_images = self._run(context, first_padded, rel_index=0, rng=k)[:real]
+        for i, pos in enumerate(anchor_pos[:first_n]):
             results[int(target.index[pos])] = anchor_images[i]
+
+        last_anchor_pos = int(anchor_pos[first_n - 1])
+        last_anchor_img = anchor_images[real - 1]
+        start = first_n
+        while start < len(anchor_pos):
+            end = min(start + self.group_size, len(anchor_pos))
+            prev_ctx = SceneViews(
+                images=last_anchor_img[None],
+                extrinsics=target.extrinsics[last_anchor_pos][None],
+                intrinsics=target.intrinsics[last_anchor_pos][None],
+                index=target.index[last_anchor_pos][None],
+            )
+            ctx2 = self._cat(context, prev_ctx)
+            window = self._take(target, anchor_pos[start:end])
+            padded, real = self._pad_group(window, self.group_size)
+            rng, k = jax.random.split(rng)
+            # rel_index=1: poses relative to the previous anchor (reference
+            # diffusion_wrapper.py:769). Same (2, 3) shape bucket as the
+            # fill phase, so chaining adds no new compilations.
+            imgs = self._run(ctx2, padded, rel_index=1, rng=k)[:real]
+            for i, pos in enumerate(anchor_pos[start:end]):
+                results[int(target.index[pos])] = imgs[i]
+            last_anchor_pos = int(anchor_pos[end - 1])
+            last_anchor_img = imgs[real - 1]
+            start = end
 
         # Assign remaining frames to the nearest anchor, in groups.
         remaining = [p for p in range(n_t) if p not in set(anchor_pos.tolist())]

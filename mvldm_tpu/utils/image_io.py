@@ -49,17 +49,38 @@ def save_gif(frames: Sequence[np.ndarray], path: Union[Path, str],
 
 def save_video(frames: Sequence[np.ndarray], path: Union[Path, str],
                fps: int = 25) -> bool:
-    """MP4 via imageio/ffmpeg; returns False (skipped) when no encoder."""
+    """MP4 export (reference ``on_test_end:1073-1088``, moviepy 25/10 fps).
+
+    Uses imageio/ffmpeg when an encoder exists; otherwise falls back to the
+    built-in pure-Python MJPEG-in-MP4 muxer (``utils/mp4.py``) so video
+    export always works. Returns True on success."""
+    path = Path(path)
     try:
         import imageio.v2 as imageio
 
-        path = Path(path)
         path.parent.mkdir(exist_ok=True, parents=True)
         writer = imageio.get_writer(str(path), fps=fps)
         for f in frames:
             writer.append_data(prep_image(f))
         writer.close()
         return True
-    except Exception as e:  # no ffmpeg backend in this image
+    except Exception:
+        pass  # no ffmpeg backend in this image — use the built-in muxer
+    try:
+        import io
+
+        from .mp4 import write_mjpeg_mp4
+
+        jpegs = []
+        size = None
+        for f in frames:
+            arr = prep_image(f)
+            size = (arr.shape[1], arr.shape[0])
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+            jpegs.append(buf.getvalue())
+        write_mjpeg_mp4(jpegs, path, fps=fps, size=size)
+        return True
+    except Exception as e:
         print(f"Skipping mp4 export ({type(e).__name__}: {e})")
         return False

@@ -56,6 +56,7 @@ class TestBuildEngine:
         # The group was replaced, not merged: no DDIM-only keys remain.
         assert "set_alpha_to_one" not in cfg.model.scheduler.kwargs
 
+    @pytest.mark.slow
     def test_standard_attention_unet_forward(self):
         from mvldm_tpu.models.standard_transformer import CrossAttentionCfg
         from mvldm_tpu.models.unet import (

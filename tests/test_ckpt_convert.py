@@ -2,6 +2,7 @@
 ``denoiser.unet.*`` + ``denoiser.cross_attn_blocks_{encoder,mid,decoder}.*``
 + ``autoencoder.*`` -> {"unet", "vae"} flax trees matching module init."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,6 +103,7 @@ def synth_vae_sd(ch=(8, 8, 16, 16), lpb=1) -> dict:
 
 
 class TestMvldmCheckpointConversion:
+    @pytest.mark.slow
     def test_full_checkpoint_roundtrip(self):
         backbone = UNetBackboneCfg(
             down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),

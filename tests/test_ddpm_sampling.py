@@ -12,6 +12,8 @@ from mvldm_tpu.diffusion.schedulers import DDPMScheduler, DDPMSchedulerKwargs
 
 from test_engine import tiny_engine, make_batch  # fixtures
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compiles
+
 
 class TestDDPMSampling:
     def test_sample_with_ddpm_scheduler(self, tiny_engine):

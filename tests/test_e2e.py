@@ -11,6 +11,8 @@ import pytest
 
 from synthetic_data import write_synthetic_dataset
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compiles
+
 
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):

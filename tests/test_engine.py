@@ -110,6 +110,7 @@ class TestTrainingLoss:
         assert np.isfinite(float(loss))
         assert "loss/diffusion" in metrics
 
+    @pytest.mark.slow
     def test_gradients_flow_to_unet_not_vae(self, tiny_engine):
         engine, unet_params, vae_params = tiny_engine
         batch = make_batch(jax.random.PRNGKey(1))
@@ -127,6 +128,7 @@ class TestTrainingLoss:
 
 
 class TestDenoiseStepCFG:
+    @pytest.mark.slow
     def test_batched_cfg_equals_two_forwards(self, tiny_engine):
         """Both CFG execution modes must match the reference's two sequential
         forwards (cond on ctx+tgt, uncond on tgt only) exactly."""

@@ -9,6 +9,8 @@ import pytest
 
 from synthetic_data import write_synthetic_dataset
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compiles
+
 
 class TestGenerateMvldm:
     def test_scene_hash_autoregressive(self, tmp_path_factory):

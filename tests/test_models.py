@@ -70,6 +70,7 @@ class TestMultiViewUNet:
             np.asarray(out_pad[:, :2]), np.asarray(out_small), atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_gradients_flow(self):
         model, params, x, t = init_unet()
 

@@ -56,6 +56,7 @@ class TestTrainStep:
         )
         return engine, step_fn, state
 
+    @pytest.mark.slow
     def test_step_updates_params(self, tiny_engine):
         engine, step_fn, state = self._setup(tiny_engine)
         batch = make_batch(jax.random.PRNGKey(0))
@@ -69,6 +70,7 @@ class TestTrainStep:
         )
         assert any(jax.tree_util.tree_leaves(changed))
 
+    @pytest.mark.slow
     def test_ema_tracks_params(self, tiny_engine):
         engine, step_fn, state = self._setup(tiny_engine, use_ema=True)
         batch = make_batch(jax.random.PRNGKey(0))
@@ -82,6 +84,7 @@ class TestTrainStep:
         )
         assert any(diff_new)
 
+    @pytest.mark.slow
     def test_grad_accumulation_delays_update(self, tiny_engine):
         engine, step_fn, state = self._setup(tiny_engine, accum=2)
         batch = make_batch(jax.random.PRNGKey(0))
@@ -99,6 +102,7 @@ class TestTrainStep:
 
 
 class TestShardedTrainStep:
+    @pytest.mark.slow
     def test_8_device_data_parallel(self, tiny_engine):
         """One sharded step over the virtual 8-device mesh — the DDP
         equivalent (gradient psum via XLA)."""
@@ -122,6 +126,7 @@ class TestShardedTrainStep:
 
 
 class TestZero1Sharding:
+    @pytest.mark.slow
     def test_opt_state_sharded_and_equivalent(self, tiny_engine):
         """ZeRO-1: optimizer moments sharded over the data axis; one step
         must match the fully-replicated step numerically."""
@@ -203,6 +208,7 @@ class TestCheckpoint:
 
 
 class TestEMAWithAccumulation:
+    @pytest.mark.slow
     def test_ema_frozen_between_applied_steps(self, tiny_engine):
         """With accumulate_grad_batches=2, the EMA must not decay on the
         non-applied micro-step (reference updates EMA once per optimizer

@@ -7,6 +7,8 @@ from mvldm_tpu.diffusion.video_sampling import SceneViews, VideoSampler
 
 from test_engine import tiny_engine  # fixture
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compiles
+
 
 def make_scene(n_context=1, n_target=11, hw=32):
     rng = np.random.default_rng(0)
@@ -43,6 +45,34 @@ class TestAnchoredSampling:
             assert img.shape == (32, 32, 3)
             assert np.isfinite(img).all()
             assert img.min() >= 0.0 and img.max() <= 1.0
+
+    def test_chained_anchors_beyond_four(self, tiny_engine):
+        """num_anchors_views > 4: first window of 4 from the context, then
+        chained windows of 3 conditioned on [ctx0, previous anchor]
+        (reference diffusion_wrapper.py:744-792)."""
+        engine, unet_params, vae_params = tiny_engine
+        sampler = VideoSampler(
+            engine, unet_params, vae_params, num_anchors_views=8
+        )
+        run_shapes = []
+        orig_run = sampler._run
+
+        def spy_run(context, target, rel_index, rng):
+            run_shapes.append(
+                (context.images.shape[0], target.extrinsics.shape[0], rel_index)
+            )
+            return orig_run(context, target, rel_index, rng)
+
+        sampler._run = spy_run
+        ctx, tgt = make_scene(n_target=17)
+        results = sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(0))
+        assert sorted(results.keys()) == tgt.index.tolist()
+        # anchor_step = 17//8 = 2 -> anchors at positions 2,4,...,16 (8 of
+        # them): one (1 ctx, 4 tgt) window then two chained (2 ctx, 3 tgt)
+        # windows (the second padded: 8-4-3 = 1 real anchor).
+        assert run_shapes[0] == (1, 4, 0)
+        assert run_shapes[1] == (2, 3, 1)
+        assert run_shapes[2] == (2, 3, 1)
 
     def test_limit_frames(self, tiny_engine):
         engine, unet_params, vae_params = tiny_engine
