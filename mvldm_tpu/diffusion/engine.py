@@ -425,17 +425,20 @@ class DiffusionEngine:
         intrinsics: Array,
         num_target_views: int,
         rng: Array,
+        initial_noise: Array | None = None,
     ) -> Array:
         """DDIM loop over latents (reference ``sample():455-490``) under one
         ``lax.scan``. ``extrinsics``/``intrinsics`` cover ctx+tgt views in
-        order. Returns (b, v_t, hl, wl, 4) scaled latents."""
+        order. ``initial_noise`` (b, v_t, hl, wl, 4) overrides the N(0,1)
+        draw — the cross-framework parity harness injects the torch
+        reference's noise here (scripts/verify_parity.py). Returns
+        (b, v_t, hl, wl, 4) scaled latents."""
         b, v_c, hl, wl, c = context_latents.shape
-        x_t = (
-            jax.random.normal(
+        if initial_noise is None:
+            initial_noise = jax.random.normal(
                 rng, (b, num_target_views, hl, wl, c), dtype=jnp.float32
             )
-            * self.scheduler.init_noise_sigma
-        )
+        x_t = initial_noise.astype(jnp.float32) * self.scheduler.init_noise_sigma
         rays = self.ray_encode(extrinsics, intrinsics, (hl, wl))
         timesteps = jnp.asarray(self.scheduler.timesteps(), dtype=jnp.int32)
         step_keys = jax.random.split(
@@ -461,6 +464,7 @@ class DiffusionEngine:
         intrinsics: Array,
         num_target_views: int,
         rng: Array,
+        initial_noise: Array | None = None,
     ) -> Array:
         """Full pipeline: encode context, DDIM, decode targets.
         Returns (b, v_t, H, W, 3) images in [0, 1]."""
@@ -473,5 +477,6 @@ class DiffusionEngine:
             intrinsics,
             num_target_views,
             k_noise,
+            initial_noise=initial_noise,
         )
         return self.decode_latents(vae_params, latents)

@@ -67,9 +67,32 @@ class VideoSampler:
         # ``diffusion_wrapper.py:841-894``) — the single largest throughput
         # win of the anchored strategy on TPU. Capped to bound activations.
         self.max_parallel_groups = max_parallel_groups
-        self._sample = jax.jit(
-            engine.sample, static_argnames=("num_target_views",)
-        )
+
+        # Host<->device image traffic travels as uint8 (4x fewer bytes than
+        # f32; measured ~30-60 MB/s on the tunneled bench chip, so a scene's
+        # ~100 MB of f32 frames would cost seconds). Lossless for the real
+        # pipeline: dataset images are JPEG-decoded uint8, and the float->
+        # uint8 output quantization is exactly what PNG export applies
+        # anyway (utils/image_io.prep_image).
+        def sample_u8(unet_params, vae_params, ctx_u8, extrinsics, intrinsics,
+                      num_target_views, rng):
+            images = ctx_u8.astype(jnp.float32) / 255.0
+            out = engine.sample(
+                unet_params, vae_params, images, extrinsics, intrinsics,
+                num_target_views=num_target_views, rng=rng,
+            )
+            return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        self._sample = jax.jit(sample_u8, static_argnames=("num_target_views",))
+
+    @staticmethod
+    def _to_u8(images: np.ndarray) -> np.ndarray:
+        """Host-side image quantization for upload. Round-to-nearest
+        reconstructs the original uint8 exactly for JPEG-derived floats
+        (k/255 stored in f32)."""
+        if images.dtype == np.uint8:
+            return images
+        return (np.clip(images, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
     # ---------------------------------------------------------------- utils
 
@@ -80,7 +103,7 @@ class VideoSampler:
         rel_index: int,
         rng: jax.Array,
     ) -> np.ndarray:
-        """One bucketed sampling call; returns (v_t, h, w, 3) images."""
+        """One bucketed sampling call; returns (v_t, h, w, 3) uint8 images."""
         v_c = context.images.shape[0]
         v_t = target.extrinsics.shape[0]
         extr = np.concatenate([context.extrinsics, target.extrinsics], axis=0)
@@ -91,13 +114,13 @@ class VideoSampler:
         out = self._sample(
             self.unet_params,
             self.vae_params,
-            jnp.asarray(context.images)[None],
+            jnp.asarray(self._to_u8(context.images))[None],
             jnp.asarray(extr)[None],
             jnp.asarray(intr)[None],
             num_target_views=v_t,
             rng=rng,
         )
-        return np.asarray(jnp.clip(out[0], 0.0, 1.0))
+        return np.asarray(out[0])
 
     def _run_batched(
         self,
@@ -107,9 +130,9 @@ class VideoSampler:
         rng: jax.Array,
     ) -> np.ndarray:
         """Run G independent (context, target-group) samples in one launch.
-        All groups share (v_c, v_t). Returns (G, v_t, h, w, 3)."""
+        All groups share (v_c, v_t). Returns (G, v_t, h, w, 3) uint8."""
         g = len(contexts)
-        ctx_images = np.stack([c.images for c in contexts])
+        ctx_images = np.stack([self._to_u8(c.images) for c in contexts])
         extr = np.stack(
             [
                 np.concatenate([c.extrinsics, t.extrinsics], axis=0)
@@ -133,9 +156,9 @@ class VideoSampler:
             num_target_views=v_t,
             rng=rng,
         )
-        # Device array; callers convert after submitting all chunks so JAX's
-        # async dispatch overlaps host-side prep with device compute.
-        return jnp.clip(out, 0.0, 1.0)
+        # Device uint8 array; callers convert after submitting all chunks so
+        # JAX's async dispatch overlaps host-side prep with device compute.
+        return out
 
     @staticmethod
     def _take(views: SceneViews, idx) -> SceneViews:

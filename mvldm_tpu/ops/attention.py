@@ -60,8 +60,18 @@ def mha_reference(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+    q_ref, k_ref, v_ref, *refs, scale: float, has_bias: bool
 ):
+    """The kernel is VPU-bound at this model's head dims (40-160): the MXU
+    matmuls are insensitive to D (measured identical time at D=40 vs a
+    128-padded D), so every elementwise pass over the (block_q, block_k)
+    scores tile costs real time. Hence: the softmax scale is folded into the
+    (block_q, d) query tile (~block_k/d times cheaper than scaling s), and
+    the bias add is compiled out entirely when no mask exists."""
+    if has_bias:
+        bias_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        o_ref, m_scr, l_scr, acc_scr = refs
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -70,15 +80,13 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32) * scale
     k = k_ref[0].astype(jnp.float32)
-    s = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        * scale
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, block_k)
-    s = s + bias_ref[0, 0].astype(jnp.float32)
+    if has_bias:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
 
     m_prev = m_scr[:]
     l_prev = l_scr[:]
@@ -140,11 +148,13 @@ def flash_attention(
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
-    # Always materialize a bias row: it keeps the kernel monomorphic, and for
-    # this model it is (b, lk) fp32 — negligible next to q/k/v traffic.
-    if bias is None:
+    # Key padding requires a masking bias; otherwise the bias input (and its
+    # per-scores-tile add) is compiled out entirely — the model's sequential-
+    # CFG sampling path runs maskless (see kernel docstring).
+    if bias is None and lk_pad != lk:
         bias = jnp.zeros((b, lk), dtype=jnp.float32)
-    if lk_pad != lk:
+    has_bias = bias is not None
+    if has_bias and lk_pad != lk:
         bias = jnp.pad(bias, ((0, 0), (0, lk_pad - lk)), constant_values=NEG_INF)
     if lq_pad != lq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
@@ -156,9 +166,6 @@ def flash_attention(
     q = q.reshape(bh, lq_pad, d)
     k = k.reshape(bh, lk_pad, d)
     v = v.reshape(bh, lk_pad, d)
-    # (b, 1, lk): the singleton dim keeps the trailing-two-dims block shape
-    # (1, block_k) legal under the TPU tiling rules.
-    bias = bias.reshape(b, 1, lk_pad)
 
     grid = (bh, lq_pad // block_q, lk_pad // block_k)
 
@@ -166,13 +173,19 @@ def flash_attention(
         pl.BlockSpec((1, block_q, d), lambda g, iq, ik: (g, iq, 0)),
         pl.BlockSpec((1, block_k, d), lambda g, iq, ik: (g, ik, 0)),
         pl.BlockSpec((1, block_k, d), lambda g, iq, ik: (g, ik, 0)),
-        # One bias row per batch element, broadcast over heads and q blocks.
-        pl.BlockSpec((1, 1, block_k), lambda g, iq, ik: (g // h, 0, ik)),
     ]
-    operands = [q, k, v, bias]
+    operands = [q, k, v]
+    if has_bias:
+        # (b, 1, lk): the singleton dim keeps the trailing-two-dims block
+        # shape (1, block_k) legal under the TPU tiling rules. One bias row
+        # per batch element, broadcast over heads and q blocks.
+        operands.append(bias.reshape(b, 1, lk_pad))
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda g, iq, ik: (g // h, 0, ik))
+        )
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, has_bias=has_bias),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, iq, ik: (g, iq, 0)),

@@ -15,12 +15,14 @@ FloatImage = Union[np.ndarray]
 
 
 def prep_image(image: np.ndarray) -> np.ndarray:
-    """(h, w, 3|4|1) float [0,1] -> uint8 HWC."""
+    """(h, w, 3|4|1) float [0,1] (or already-quantized uint8) -> uint8 HWC."""
     image = np.asarray(image)
     if image.ndim == 2:
         image = image[..., None]
     if image.shape[-1] == 1:
         image = np.repeat(image, 3, axis=-1)
+    if image.dtype == np.uint8:
+        return image
     return (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 

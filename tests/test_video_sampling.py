@@ -39,12 +39,12 @@ class TestAnchoredSampling:
         sampler = VideoSampler(engine, unet_params, vae_params)
         ctx, tgt = make_scene(n_target=11)
         results = sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(0))
-        # Every requested target frame is produced (incl. ragged tail).
+        # Every requested target frame is produced (incl. ragged tail),
+        # already quantized to uint8 on device (4x less tunnel traffic).
         assert sorted(results.keys()) == tgt.index.tolist()
         for img in results.values():
             assert img.shape == (32, 32, 3)
-            assert np.isfinite(img).all()
-            assert img.min() >= 0.0 and img.max() <= 1.0
+            assert img.dtype == np.uint8
 
     def test_chained_anchors_beyond_four(self, tiny_engine):
         """num_anchors_views > 4: first window of 4 from the context, then
@@ -93,3 +93,4 @@ class TestAutoregressiveSampling:
         assert sorted(results.keys()) == tgt.index.tolist()
         for img in results.values():
             assert img.shape == (32, 32, 3)
+            assert img.dtype == np.uint8
