@@ -174,20 +174,49 @@ def get_lpips(weights_path: Optional[Path] = None) -> Optional[LPIPS]:
         return None
 
 
-class DISTS:
-    """Deep Image Structure and Texture Similarity (reference
-    ``metrics.py:28-40`` via the DISTS_pytorch package).
+def _l2_pool_kernel(filter_size: int = 3) -> np.ndarray:
+    """DISTS' L2-pooling window: a Hann window (anti-aliased downsampling,
+    Zhang 2019 'Making Convolutional Networks Shift-Invariant Again')."""
+    a = np.hanning(filter_size + 2)[1:-1]
+    g = np.outer(a, a)
+    return (g / g.sum()).astype(np.float32)
 
-    DISTS compares VGG features through per-stage structure (correlation)
-    and texture (mean) terms. The canonical metric uses learned per-channel
-    alpha/beta weights; when only the VGG trunk is available (our converted
-    ``lpips_vgg.npz``), uniform weights are used — monotonically consistent
-    with the learned metric and clearly flagged in the result key. Pass a
-    weights file containing ``dists_alpha``/``dists_beta`` for exact parity.
+
+def _l2_pool(x: Array, filter_size: int = 3, stride: int = 2) -> Array:
+    """sqrt(hann_conv(x^2)): the pooling DISTS substitutes for max-pool."""
+    k = jnp.asarray(_l2_pool_kernel(filter_size))[:, :, None, None]
+    c = x.shape[-1]
+    k = jnp.tile(k, (1, 1, 1, c))
+    pooled = jax.lax.conv_general_dilated(
+        x * x,
+        k,
+        window_strides=(stride, stride),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return jnp.sqrt(jnp.maximum(pooled, 1e-12))
+
+
+class DISTS:
+    """Deep Image Structure and Texture Similarity (Ding et al. 2020),
+    exactly as the reference computes it via the DISTS_pytorch package
+    (reference ``metrics.py:28-40``): a VGG16 trunk with L2-pooling in
+    place of max-pool, stages [input, conv1_2, conv2_2, conv3_3, conv4_3,
+    conv5_3], per-channel texture (mean) and structure (covariance) terms
+    combined with the learned alpha/beta weights.
+
+    Requires ``dists_alpha``/``dists_beta`` in the converted weights file
+    (utils/lpips_convert.py --dists) — without the learned weights the
+    metric is not DISTS, so construction fails loudly instead of silently
+    substituting uniform weights.
     """
 
     C1 = 1e-6
     C2 = 1e-6
+    # Convs whose activations feed the metric, per VGG block.
+    STAGE_CONVS = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
+    CHNS = [3, 64, 128, 256, 512, 512]
 
     def __init__(self, weights_path: Optional[Path] = None):
         path = Path(weights_path or "assets/lpips_vgg.npz")
@@ -197,48 +226,78 @@ class DISTS:
                 "on a connected machine."
             )
         data = np.load(path)
-        vgg_weights = {}
+        if "dists_alpha" not in data or "dists_beta" not in data:
+            raise FileNotFoundError(
+                f"{path} lacks the learned DISTS alpha/beta weights; "
+                "re-run utils/lpips_convert.py with --dists (needs the "
+                "DISTS_pytorch package). Refusing to substitute uniform "
+                "weights — that would not be DISTS."
+            )
+        self.weights = {}
         for block, (ch, n_convs) in enumerate(_VGG16Features.CONV_LAYERS):
             for c in range(n_convs):
                 name = f"conv{block + 1}_{c + 1}"
-                vgg_weights[name] = (data[f"{name}_kernel"], data[f"{name}_bias"])
-        self.vgg = _VGG16Features(vgg_weights)
-        self.alpha = data.get("dists_alpha")
-        self.beta = data.get("dists_beta")
+                self.weights[name] = (
+                    jnp.asarray(data[f"{name}_kernel"]),
+                    jnp.asarray(data[f"{name}_bias"]),
+                )
+        # (sum(CHNS),) per-channel weights across stages.
+        self.alpha = jnp.asarray(data["dists_alpha"], jnp.float32).reshape(-1)
+        self.beta = jnp.asarray(data["dists_beta"], jnp.float32).reshape(-1)
+
+    def _features(self, x: Array) -> list:
+        """x: (b, h, w, 3) in [0, 1] -> [x, conv1_2, ..., conv5_3] with
+        L2-pooling between blocks (DISTS forward_once)."""
+        feats = [jnp.asarray(x, jnp.float32)]
+        h = ((jnp.asarray(x, jnp.float32) - LPIPS.MEAN) / LPIPS.STD)
+        for block, (ch, n_convs) in enumerate(_VGG16Features.CONV_LAYERS):
+            if block > 0:
+                h = _l2_pool(h)
+            for c in range(n_convs):
+                k, b = self.weights[f"conv{block + 1}_{c + 1}"]
+                h = jax.lax.conv_general_dilated(
+                    h, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + b
+                h = jax.nn.relu(h)
+            feats.append(h)
+        return feats
 
     def __call__(self, x: Array, y: Array) -> Array:
         """x, y: (b, h, w, 3) in [0, 1] -> (b,) DISTS distances (lower is
         more similar)."""
-        def prep(img):
-            img = (img - LPIPS.MEAN) / LPIPS.STD
-            return img.astype(jnp.float32)
+        fx = self._features(x)
+        fy = self._features(y)
+        w_sum = self.alpha.sum() + self.beta.sum()
+        alpha = jnp.split(
+            self.alpha / w_sum, np.cumsum(self.CHNS)[:-1].tolist()
+        )
+        beta = jnp.split(
+            self.beta / w_sum, np.cumsum(self.CHNS)[:-1].tolist()
+        )
 
-        fx = [jnp.asarray(x, jnp.float32)] + self.vgg(prep(x))
-        fy = [jnp.asarray(y, jnp.float32)] + self.vgg(prep(y))
-
-        dist = 0.0
-        n_stages = len(fx)
-        for a, b in zip(fx, fy):
+        dist1 = 0.0
+        dist2 = 0.0
+        for j, (a, b) in enumerate(zip(fx, fy)):
             mu_a = jnp.mean(a, axis=(1, 2))
             mu_b = jnp.mean(b, axis=(1, 2))
-            var_a = jnp.var(a, axis=(1, 2))
-            var_b = jnp.var(b, axis=(1, 2))
-            cov = jnp.mean(a * b, axis=(1, 2)) - mu_a * mu_b
-
             texture = (2 * mu_a * mu_b + self.C1) / (
                 mu_a**2 + mu_b**2 + self.C1
             )
+            var_a = jnp.var(a, axis=(1, 2))
+            var_b = jnp.var(b, axis=(1, 2))
+            cov = jnp.mean(a * b, axis=(1, 2)) - mu_a * mu_b
             structure = (2 * cov + self.C2) / (var_a + var_b + self.C2)
-            # Uniform stage/channel weighting (see class docstring).
-            w = 0.5 / n_stages
-            dist = dist + w * jnp.mean(1 - texture, axis=-1) + w * jnp.mean(
-                1 - structure, axis=-1
-            )
-        return dist
+            dist1 = dist1 + jnp.sum(alpha[j][None, :] * texture, axis=-1)
+            dist2 = dist2 + jnp.sum(beta[j][None, :] * structure, axis=-1)
+        return 1.0 - (dist1 + dist2)
 
 
 def get_dists(weights_path: Optional[Path] = None) -> Optional[DISTS]:
+    """Exact DISTS when converted weights (incl. learned alpha/beta) exist,
+    else None with a loud one-time notice — never a silent skip."""
     try:
         return DISTS(weights_path)
-    except FileNotFoundError:
+    except FileNotFoundError as e:
+        print(f"DISTS unavailable: {e}")
         return None

@@ -161,9 +161,35 @@ class CrossAttention(nn.Module):
         x: Array,
         context: Optional[Array] = None,
         key_bias: Optional[Array] = None,
+        zero_context_dim: Optional[int] = None,
     ) -> Array:
-        context = x if context is None else context
         inner = self.num_heads * self.head_dim
+        if zero_context_dim is not None:
+            # The live model feeds all-zero text conditioning to the SD
+            # cross-attention layers (reference ``mvunet.py:128,157,184``).
+            # With bias-free k/v projections, v == 0 exactly, so the
+            # attention output is 0 and the whole block reduces to its
+            # to_out bias — computed below on a single zero token and
+            # broadcast. Exact, and the parameter structure is unchanged
+            # for checkpoint conversion (the dummy projections materialize
+            # the same params; XLA dead-code-eliminates their compute).
+            dummy_ctx = jnp.zeros((1, 1, zero_context_dim), self.dtype)
+            nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+                x[:1, :1]
+            )
+            nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
+                dummy_ctx
+            )
+            nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
+                dummy_ctx
+            )
+            out0 = nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(
+                jnp.zeros((1, 1, inner), self.dtype)
+            )
+            b, lq, _ = x.shape
+            return jnp.broadcast_to(out0, (b, lq, self.out_dim))
+
+        context = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
@@ -215,7 +241,10 @@ class TransformerBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, context: Array) -> Array:
+    def __call__(self, x: Array, context: Optional[Array]) -> Array:
+        """``context=None`` means the live model's all-zero text
+        conditioning: attn2 collapses to its exact constant (see
+        ``CrossAttention``)."""
         dim = x.shape[-1]
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(
@@ -224,7 +253,11 @@ class TransformerBlock2D(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, dim, dtype=self.dtype, name="attn2"
-        )(h, context)
+        )(
+            h,
+            context,
+            zero_context_dim=self.context_dim if context is None else None,
+        )
         h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
         x = x + FeedForward(dim, dtype=self.dtype, name="ff")(h)
         return x
@@ -243,7 +276,7 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, context: Array) -> Array:
+    def __call__(self, x: Array, context: Optional[Array]) -> Array:
         b, h, w, c = x.shape
         residual = x
         hidden = GroupNorm(self.groups, 1e-6, name="norm")(x)

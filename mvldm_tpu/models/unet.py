@@ -144,11 +144,11 @@ class MultiViewUNet(nn.Module):
             cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_emb_2"
         )(nn.silu(temb))
 
-        # Zero text conditioning for the SD cross-attention layers.
-        if cond_state is None:
-            cond_state = jnp.zeros(
-                (bv, 1, cfg.cross_attention_dim), dtype=self.dtype
-            )
+        # cond_state stays None on the live path: the SD cross-attention
+        # layers receive all-zero text conditioning (reference
+        # ``mvunet.py:128,157,184``), for which the attention collapses to
+        # an exact constant — ``layers.CrossAttention`` computes that
+        # shortcut instead of a full attention over a zero token.
 
         hidden = latents.reshape(bv, h0, w0, -1)
         hidden = nn.Conv(

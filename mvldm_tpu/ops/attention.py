@@ -62,12 +62,21 @@ def mha_reference(
 def _flash_kernel(
     q_ref, k_ref, v_ref, *refs, scale: float, has_bias: bool
 ):
-    """The kernel is VPU-bound at this model's head dims (40-160): the MXU
-    matmuls are insensitive to D (measured identical time at D=40 vs a
-    128-padded D), so every elementwise pass over the (block_q, block_k)
-    scores tile costs real time. Hence: the softmax scale is folded into the
-    (block_q, d) query tile (~block_k/d times cheaper than scaling s), and
-    the bias add is compiled out entirely when no mask exists."""
+    """Performance notes (measured on v5e at this model's shapes):
+
+    * Matmul inputs stay in their native dtype — bf16 inputs run the MXU at
+      full rate, while upcasting to f32 halves it. Numerics are unchanged
+      for QK^T: bf16xbf16 products are exact in the f32 accumulator
+      (``preferred_element_type``), which is precisely the reference's
+      fp32-softmax guarantee (``mvdream/attention.py:185-190``). P is cast
+      to V's dtype for the PV matmul (the official JAX flash kernel's
+      choice); softmax statistics m/l and the output accumulator remain
+      f32.
+    * The bias input (and its per-scores-tile add) is compiled out when no
+      mask exists — the sequential-CFG sampling path runs maskless, and
+      elementwise passes over the (block_q, block_k) tile are the marginal
+      cost at small head dims.
+    """
     if has_bias:
         bias_ref, o_ref, m_scr, l_scr, acc_scr = refs
     else:
@@ -80,11 +89,12 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_k)
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, block_k) f32
+    if scale != 1.0:
+        s = s * scale
     if has_bias:
         s = s + bias_ref[0, 0].astype(jnp.float32)
 
@@ -101,8 +111,8 @@ def _flash_kernel(
     # straight form — Mosaic lowers the (d, block_k) x (block_k, block_q)
     # contraction poorly. Keep P @ V.
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p,
-        v_ref[0].astype(jnp.float32),
+        p.astype(v_ref.dtype),
+        v_ref[0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

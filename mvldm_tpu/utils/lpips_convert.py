@@ -1,10 +1,13 @@
-"""One-time LPIPS weight conversion (run on a machine with network access).
+"""One-time LPIPS/DISTS weight conversion (run on a machine with network
+access).
 
-Produces ``assets/lpips_vgg.npz`` consumed by ``evaluation/metrics.LPIPS``:
-torchvision VGG16 conv weights (OIHW -> HWIO) plus the lpips package's
-linear calibration heads.
+Produces ``assets/lpips_vgg.npz`` consumed by ``evaluation/metrics``:
+torchvision VGG16 conv weights (OIHW -> HWIO), the lpips package's linear
+calibration heads, and — with ``--dists`` — the DISTS_pytorch package's
+learned per-channel alpha/beta weights (evaluation/metrics.DISTS refuses
+to run without them; uniform weights would not be DISTS).
 
-    python -m mvldm_tpu.utils.lpips_convert --output assets/lpips_vgg.npz
+    python -m mvldm_tpu.utils.lpips_convert --dists --output assets/lpips_vgg.npz
 """
 
 from __future__ import annotations
@@ -17,7 +20,19 @@ import numpy as np
 VGG16_BLOCKS = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
 
 
-def convert(output: Path) -> None:
+def convert_dists(data: dict) -> None:
+    """Add DISTS' learned alpha/beta (DISTS_pytorch ships them as buffers
+    of its model / in its weights.pt)."""
+    import torch
+    from DISTS_pytorch import DISTS as TorchDISTS
+
+    model = TorchDISTS()
+    # (1, sum(chns), 1, 1) -> flat (sum(chns),)
+    data["dists_alpha"] = model.alpha.detach().numpy().reshape(-1)
+    data["dists_beta"] = model.beta.detach().numpy().reshape(-1)
+
+
+def convert(output: Path, dists: bool = False) -> None:
     import lpips  # requires the lpips pip package + torchvision weights
     import torch
 
@@ -44,6 +59,8 @@ def convert(output: Path) -> None:
             data[f"{name}_bias"] = conv.bias.detach().numpy()
     for i, lin in enumerate(model.lins):
         data[f"lin{i}"] = lin.model[1].weight.detach().numpy().reshape(-1)
+    if dists:
+        convert_dists(data)
     output.parent.mkdir(parents=True, exist_ok=True)
     np.savez(output, **data)
     print(f"Wrote {output}")
@@ -52,4 +69,7 @@ def convert(output: Path) -> None:
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--output", type=Path, default=Path("assets/lpips_vgg.npz"))
-    convert(parser.parse_args().output)
+    parser.add_argument("--dists", action="store_true",
+                        help="also convert DISTS alpha/beta (DISTS_pytorch)")
+    args = parser.parse_args()
+    convert(args.output, dists=args.dists)

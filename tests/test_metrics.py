@@ -68,6 +68,10 @@ def make_fake_vgg_npz(path):
             cin = ch
     for i, ch in enumerate((64, 128, 256, 512, 512)):
         data[f"lin{i}"] = np.abs(rng.normal(size=ch)).astype(np.float32)
+    # Learned DISTS weights (fixture-random, positive like the real ones).
+    n = 3 + 64 + 128 + 256 + 512 + 512
+    data["dists_alpha"] = np.abs(rng.normal(size=n)).astype(np.float32)
+    data["dists_beta"] = np.abs(rng.normal(size=n)).astype(np.float32)
     np.savez(path, **data)
     return path
 
@@ -104,10 +108,48 @@ class TestDISTS:
         assert d_same == pytest.approx(0.0, abs=1e-5)
         assert d_diff > 0.001
 
-    def test_missing_weights_returns_none(self, tmp_path):
+    def test_missing_weights_returns_none(self, tmp_path, capsys):
         from mvldm_tpu.evaluation.metrics import get_dists
 
         assert get_dists(tmp_path / "nope.npz") is None
+        assert "DISTS unavailable" in capsys.readouterr().out
+
+    def test_vgg_only_weights_refused_loudly(self, tmp_path, capsys):
+        """Without the learned alpha/beta the metric would not be DISTS —
+        no silent uniform-weight substitution."""
+        from mvldm_tpu.evaluation.metrics import _VGG16Features, get_dists
+
+        rng = np.random.default_rng(0)
+        data = {}
+        cin = 3
+        for block, (ch, n_convs) in enumerate(_VGG16Features.CONV_LAYERS):
+            for c in range(n_convs):
+                name = f"conv{block + 1}_{c + 1}"
+                data[f"{name}_kernel"] = rng.normal(
+                    size=(3, 3, cin, ch), scale=0.05
+                ).astype(np.float32)
+                data[f"{name}_bias"] = np.zeros(ch, dtype=np.float32)
+                cin = ch
+        path = tmp_path / "vgg_only.npz"
+        np.savez(path, **data)
+        assert get_dists(path) is None
+        assert "alpha/beta" in capsys.readouterr().out
+
+    def test_l2_pool_matches_definition(self):
+        """L2-pool = sqrt(hann-window conv of squares), stride 2."""
+        from mvldm_tpu.evaluation.metrics import _l2_pool, _l2_pool_kernel
+
+        x = np.abs(np.random.default_rng(3).normal(size=(1, 8, 8, 2))).astype(
+            np.float32
+        )
+        out = np.asarray(_l2_pool(x))
+        assert out.shape == (1, 4, 4, 2)
+        k = _l2_pool_kernel()
+        # Check one interior output element by hand (stride 2, pad 1).
+        manual = np.sqrt(
+            (k * (x[0, 1:4, 1:4, 0] ** 2)).sum()
+        )
+        assert out[0, 1, 1, 0] == pytest.approx(manual, rel=1e-5)
 
 
 class TestMetricComputer:

@@ -145,3 +145,35 @@ class TestVAE:
         s3 = dist.sample(jax.random.PRNGKey(8))
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
         assert not np.allclose(np.asarray(s1), np.asarray(s3))
+
+
+class TestZeroContextShortcut:
+    def test_transformer2d_none_context_equals_explicit_zeros(self):
+        """The live model feeds all-zero text conditioning; the None-context
+        shortcut (to_out-bias constant) must match the full attention over a
+        zero token exactly, with an identical parameter tree."""
+        import jax
+        import jax.numpy as jnp
+
+        from mvldm_tpu.models.layers import Transformer2D
+
+        m = Transformer2D(num_heads=2, head_dim=8, context_dim=24, groups=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+        zeros_ctx = jnp.zeros((2, 64, 24))
+
+        params_none = m.init(jax.random.PRNGKey(1), x, None)["params"]
+        params_full = m.init(jax.random.PRNGKey(1), x, zeros_ctx)["params"]
+        assert jax.tree_util.tree_structure(params_none) == (
+            jax.tree_util.tree_structure(params_full)
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params_none),
+            jax.tree_util.tree_leaves(params_full),
+        ):
+            assert a.shape == b.shape
+
+        out_none = m.apply({"params": params_full}, x, None)
+        out_full = m.apply({"params": params_full}, x, zeros_ctx)
+        assert jnp.array_equal(out_none, out_full) or (
+            jnp.max(jnp.abs(out_none - out_full)) < 1e-6
+        )
