@@ -62,64 +62,69 @@ def mha_reference(
 def _flash_kernel(
     q_ref, k_ref, v_ref, *refs, scale: float, has_bias: bool
 ):
-    """Performance notes (measured on v5e at this model's shapes):
+    """Performance notes (measured on v5e at this model's shapes, head dims
+    40-160): the kernel is bound by elementwise passes over the f32
+    (block_q, block_k) scores tile, not by MXU rate — padding D to 128
+    (3.2x the matmul FLOPs) measures the same time, while native-bf16
+    matmul inputs at D=40 hit a catastrophic Mosaic path (20x slower), so
+    inputs are upcast to f32 (also the reference's fp32-softmax guarantee,
+    ``mvdream/attention.py:185-190``). Passes are minimized:
 
-    * Matmul inputs stay in their native dtype — bf16 inputs run the MXU at
-      full rate, while upcasting to f32 halves it. Numerics are unchanged
-      for QK^T: bf16xbf16 products are exact in the f32 accumulator
-      (``preferred_element_type``), which is precisely the reference's
-      fp32-softmax guarantee (``mvdream/attention.py:185-190``). P is cast
-      to V's dtype for the PV matmul (the official JAX flash kernel's
-      choice); softmax statistics m/l and the output accumulator remain
-      f32.
-    * The bias input (and its per-scores-tile add) is compiled out when no
-      mask exists — the sequential-CFG sampling path runs maskless, and
-      elementwise passes over the (block_q, block_k) tile are the marginal
-      cost at small head dims.
+    * the softmax row-sum is folded into the PV matmul by augmenting V with
+      a ones column — the accumulator's last column carries the alpha-
+      corrected l recurrence for free (no separate sum pass, no l scratch);
+    * the running max is tracked UNSCALED and the scale is fused into the
+      single exp pass, ``p = exp(scale * (s - m))`` (no scale pass over s);
+      with a bias it is pre-divided by scale outside the kernel so the same
+      identity holds;
+    * the bias input (and its add pass) is compiled out when no mask
+      exists — the sequential-CFG sampling path runs maskless.
     """
     if has_bias:
-        bias_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        bias_ref, o_ref, m_scr, acc_scr = refs
     else:
-        o_ref, m_scr, l_scr, acc_scr = refs
+        o_ref, m_scr, acc_scr = refs
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, block_k) f32
-    if scale != 1.0:
-        s = s * scale
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k) f32, unscaled
     if has_bias:
+        # bias was pre-divided by scale, so scale*(s+bias') == scale*s + bias.
         s = s + bias_ref[0, 0].astype(jnp.float32)
 
     m_prev = m_scr[:]
-    l_prev = l_scr[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_scr[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    alpha = jnp.exp((m_prev - m_new) * scale)
+    p = jnp.exp((s - m_new) * scale)
     m_scr[:] = m_new
-    # Note: a transposed accumulator (acc = V^T P^T, putting block_q on the
-    # lane dim for small head dims) was measured 3x SLOWER on v5e than this
-    # straight form — Mosaic lowers the (d, block_k) x (block_k, block_q)
-    # contraction poorly. Keep P @ V.
+    # V is augmented with a ones column in VMEM; PV then yields
+    # [acc | l] in one matmul. Note: a transposed accumulator
+    # (acc = V^T P^T) was measured 3x SLOWER on v5e — keep P @ V.
+    d = v_ref.shape[-1]
+    v_aug = jnp.concatenate(
+        [
+            v_ref[0].astype(jnp.float32),
+            jnp.ones((v_ref.shape[1], 1), jnp.float32),
+        ],
+        axis=-1,
+    )
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype),
-        v_ref[0],
-        (((1,), (0,)), ((), ())),
+        p, v_aug, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:, :d] / acc_scr[:, d:]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -166,6 +171,10 @@ def flash_attention(
     has_bias = bias is not None
     if has_bias and lk_pad != lk:
         bias = jnp.pad(bias, ((0, 0), (0, lk_pad - lk)), constant_values=NEG_INF)
+    if has_bias:
+        # The kernel applies scale inside its single exp pass; pre-divide the
+        # bias so scale*(s + bias/scale) reproduces scale*s + bias exactly.
+        bias = bias.astype(jnp.float32) * (1.0 / scale)
     if lq_pad != lq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
     if lk_pad != lk:
@@ -201,9 +210,8 @@ def flash_attention(
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, iq, ik: (g, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),       # running max m
+            pltpu.VMEM((block_q, d + 1), jnp.float32),   # [acc | l]
         ],
         interpret=interpret,
     )(*operands)

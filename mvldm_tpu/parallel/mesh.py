@@ -54,6 +54,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fsdp_shardings(mesh: Mesh, tree):
+    """FSDP/ZeRO-3-style shardings for a PARAMETER pytree: each array leaf
+    is sharded over the ``data`` axis along its largest divisible dimension
+    (replicated when none divides). With the batch also data-sharded, XLA's
+    SPMD partitioner turns the weight reads into just-in-time all-gathers
+    and the gradient all-reduce into a reduce-scatter onto the shards — the
+    full ZeRO-3 communication pattern, derived from sharding annotations
+    alone (no hand-written collectives). Cuts parameter + gradient + EMA
+    memory by ~N on top of zero1's optimizer-state cut."""
+    return zero1_shardings(mesh, tree)
+
+
 def zero1_shardings(mesh: Mesh, tree):
     """ZeRO-1-style shardings for an optimizer-state pytree: each array leaf
     is sharded over the ``data`` axis along its largest divisible dimension

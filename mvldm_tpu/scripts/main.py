@@ -82,12 +82,18 @@ def run_train(cfg: RootCfg) -> None:
         tx = optax.set_to_zero()
 
     # strategy: "data_parallel" (DDP equivalent), "data_parallel_zero1"
-    # (+ optimizer-state sharding over the data axis), anything else = single
+    # (+ optimizer-state sharding over the data axis), "data_parallel_fsdp"
+    # (+ parameter/EMA sharding, ZeRO-3 pattern), anything else = single
     # device.
-    dp_strategies = ("data_parallel", "data_parallel_zero1")
+    dp_strategies = (
+        "data_parallel", "data_parallel_zero1", "data_parallel_fsdp"
+    )
     use_mesh = cfg.trainer.strategy in dp_strategies and jax.device_count() > 1
     mesh = make_mesh() if use_mesh else None
-    use_zero1 = use_mesh and cfg.trainer.strategy == "data_parallel_zero1"
+    use_fsdp = use_mesh and cfg.trainer.strategy == "data_parallel_fsdp"
+    use_zero1 = use_fsdp or (
+        use_mesh and cfg.trainer.strategy == "data_parallel_zero1"
+    )
     run_dir = Path(cfg.output_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
@@ -114,6 +120,7 @@ def run_train(cfg: RootCfg) -> None:
         val_check_interval=cfg.trainer.val_check_interval,
         task_steps=cfg.trainer.task_steps,
         shard_optimizer_states=use_zero1,
+        shard_params=use_fsdp,
         example_params=unet_params if use_zero1 else None,
     )
     state = trainer.init_state(unet_params)

@@ -63,13 +63,16 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     shard_optimizer_states: bool = False,
+    shard_params: bool = False,
     example_params: Any = None,
 ) -> Callable:
     """Build the jitted train step. With a mesh, the batch is sharded over
     the ``data`` axis and state is replicated; XLA inserts the gradient
     all-reduce. ``shard_optimizer_states`` additionally distributes the
-    optimizer moments over the data axis (ZeRO-1); pass ``example_params``
-    (or abstract shapes) so the opt-state sharding tree can be derived."""
+    optimizer moments over the data axis (ZeRO-1); ``shard_params`` also
+    shards parameters/EMA (FSDP/ZeRO-3 — XLA derives the all-gather /
+    reduce-scatter pattern from the shardings). Pass ``example_params``
+    (or abstract shapes) so the sharding trees can be derived."""
 
     def train_step(state: TrainState, batch: Batch, rng):
         def loss_fn(params):
@@ -117,18 +120,24 @@ def make_train_step(
                             is_target=data)
 
     opt_sharding: Any = repl
-    if shard_optimizer_states:
+    if shard_optimizer_states or shard_params:
         assert example_params is not None, (
-            "shard_optimizer_states requires example_params"
+            "shard_optimizer_states/shard_params require example_params"
         )
         abstract_opt = jax.eval_shape(tx.init, example_params)
         opt_sharding = zero1_shardings(mesh, abstract_opt)
 
+    param_sharding: Any = repl
+    if shard_params:
+        from ..parallel.mesh import fsdp_shardings
+
+        param_sharding = fsdp_shardings(mesh, example_params)
+
     def state_shardings(ema: bool) -> TrainState:
         return TrainState(
-            params=repl,
+            params=param_sharding,
             opt_state=opt_sharding,
-            ema_params=repl if ema else None,
+            ema_params=param_sharding if ema else None,
             step=repl,
         )
 
@@ -174,6 +183,7 @@ class Trainer:
         val_check_interval: Optional[int] = None,
         task_steps: Optional[int] = None,
         shard_optimizer_states: bool = False,
+        shard_params: bool = False,
         example_params: Any = None,
     ):
         self.engine = engine
@@ -197,6 +207,7 @@ class Trainer:
         self._train_step = make_train_step(
             engine, tx, vae_params, num_context_views, mesh=mesh,
             shard_optimizer_states=shard_optimizer_states,
+            shard_params=shard_params,
             example_params=example_params,
         )
 

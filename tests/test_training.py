@@ -183,6 +183,65 @@ class TestZero1Sharding:
         ), f"no sharded opt leaves: {specs[:5]}"
 
 
+class TestFSDPSharding:
+    @pytest.mark.slow
+    def test_params_sharded_and_equivalent(self, tiny_engine):
+        """FSDP (ZeRO-3 pattern): parameters AND optimizer moments sharded
+        over the data axis; one step must match the replicated step. XLA
+        derives the all-gather/reduce-scatter traffic from the shardings."""
+        from jax.sharding import PartitionSpec
+
+        engine, unet_params, vae_params = tiny_engine
+        mesh = make_mesh(num_data=8)
+        opt_cfg = OptimizerCfg(name="AdamW", lr=1e-4, scale_lr=False)
+        tx = build_optimizer(opt_cfg, build_lr_schedule(1e-4, None), 0.1)
+
+        def fresh_state():
+            return TrainState(
+                params=unet_params,
+                opt_state=tx.init(unet_params),
+                ema_params=None,
+                step=jnp.asarray(0, jnp.int32),
+            )
+
+        batch = make_batch(jax.random.PRNGKey(0), b=8)
+        rng = jax.random.PRNGKey(1)
+
+        step_repl = make_train_step(
+            engine, tx, vae_params, num_context_views=2, mesh=mesh, donate=False
+        )
+        ref_state, ref_metrics = step_repl(fresh_state(), batch, rng)
+
+        step_fsdp = make_train_step(
+            engine, tx, vae_params, num_context_views=2, mesh=mesh,
+            donate=False, shard_optimizer_states=True, shard_params=True,
+            example_params=unet_params,
+        )
+        f_state, f_metrics = step_fsdp(fresh_state(), batch, rng)
+
+        np.testing.assert_allclose(
+            float(f_metrics["loss/diffusion"]),
+            float(ref_metrics["loss/diffusion"]),
+            rtol=1e-5,
+        )
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(ref_state.params),
+            jax.tree_util.tree_leaves(f_state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+        # Parameter leaves are actually distributed over the data axis.
+        param_specs = [
+            getattr(l.sharding, "spec", PartitionSpec())
+            for l in jax.tree_util.tree_leaves(f_state.params)
+            if hasattr(l, "sharding")
+        ]
+        assert any(
+            any(axis == "data" for axis in spec if axis is not None)
+            for spec in param_specs
+        ), f"no sharded param leaves: {param_specs[:5]}"
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, tiny_engine):
         engine, unet_params, vae_params = tiny_engine
