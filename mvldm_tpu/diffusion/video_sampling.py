@@ -14,8 +14,10 @@ reference's two strategies (``test_video_anchored:644-902`` and
 
 TPU-first: every UNet-visible shape is bucketed. Anchored/autoregressive use
 exactly two (v_c, v_t) buckets — (1, num_anchors) and (2, 3) — so the whole
-scene runs with two compilations; ragged tail groups are padded to the
-bucket by repeating the last view and the padding outputs are dropped.
+scene runs with two view-count compilations; ragged tail groups are padded
+to the bucket by repeating the last view and the padding outputs are
+dropped. Independent fill groups batch along the batch dim, in one
+exact-size launch when they fit ``max_parallel_groups``.
 
 Deviation from the reference (improvement): the reference's group-of-3
 assignment silently drops up to two trailing frames per scene
@@ -85,6 +87,32 @@ class VideoSampler:
 
         self._sample = jax.jit(sample_u8, static_argnames=("num_target_views",))
 
+        # Fill-phase variant with a deduplicated context-frame table: the
+        # anchored fill groups condition on only 1 + num_anchors distinct
+        # frames, yet a naive per-group stack re-uploads (and re-VAE-encodes)
+        # ~2 frames x ~27 groups per scene. Here the unique frames upload
+        # and encode ONCE; each group gathers its (ctx0, anchor) latents by
+        # index. Documented deviation from per-call encoding: a unique
+        # frame's VAE posterior is sampled once per scene instead of once
+        # per group — same per-frame marginal, shared across the groups that
+        # condition on it.
+        def sample_u8_indexed(unet_params, vae_params, table_u8, ctx_idx,
+                              extrinsics, intrinsics, num_target_views, rng):
+            k_enc, k_noise = jax.random.split(rng)
+            table = table_u8.astype(jnp.float32)[None] / 255.0  # (1, U, h, w, 3)
+            table_latents = engine.encode_images(vae_params, table, k_enc)[0]
+            ctx_latents = table_latents[ctx_idx]  # (g, v_c, hl, wl, 4)
+            latents = engine.sample_latents(
+                unet_params, ctx_latents, extrinsics, intrinsics,
+                num_target_views=num_target_views, rng=k_noise,
+            )
+            out = engine.decode_latents(vae_params, latents)
+            return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        self._sample_indexed = jax.jit(
+            sample_u8_indexed, static_argnames=("num_target_views",)
+        )
+
     @staticmethod
     def _to_u8(images: np.ndarray) -> np.ndarray:
         """Host-side image quantization for upload. Round-to-nearest
@@ -122,43 +150,44 @@ class VideoSampler:
         )
         return np.asarray(out[0])
 
-    def _run_batched(
+    def _run_batched_indexed(
         self,
-        contexts: List[SceneViews],
-        targets: List[SceneViews],
+        table_u8: jax.Array,
+        jobs: List[tuple],
         rel_index: int,
         rng: jax.Array,
-    ) -> np.ndarray:
-        """Run G independent (context, target-group) samples in one launch.
-        All groups share (v_c, v_t). Returns (G, v_t, h, w, 3) uint8."""
-        g = len(contexts)
-        ctx_images = np.stack([self._to_u8(c.images) for c in contexts])
+    ) -> jax.Array:
+        """Run G independent fill samples in one launch, with context frames
+        gathered from the shared on-device frame table. Each job is
+        (ctx_idx pair, ctx SceneViews sans images, padded target views, _).
+        Returns (G, v_t, h, w, 3) uint8 on device."""
+        ctx_idx = np.stack([j[0] for j in jobs])  # (g, v_c)
         extr = np.stack(
             [
-                np.concatenate([c.extrinsics, t.extrinsics], axis=0)
-                for c, t in zip(contexts, targets)
+                np.concatenate([j[1].extrinsics, j[2].extrinsics], axis=0)
+                for j in jobs
             ]
         )
         intr = np.stack(
             [
-                np.concatenate([c.intrinsics, t.intrinsics], axis=0)
-                for c, t in zip(contexts, targets)
+                np.concatenate([j[1].intrinsics, j[2].intrinsics], axis=0)
+                for j in jobs
             ]
         )
-        v_t = targets[0].extrinsics.shape[0]
+        v_t = jobs[0][2].extrinsics.shape[0]
         extr = absolute_to_relative_camera(jnp.asarray(extr), rel_index)
-        out = self._sample(
+        # Device uint8 output; callers convert after submitting all chunks so
+        # JAX's async dispatch overlaps host-side prep with device compute.
+        return self._sample_indexed(
             self.unet_params,
             self.vae_params,
-            jnp.asarray(ctx_images),
+            table_u8,
+            jnp.asarray(ctx_idx, dtype=jnp.int32),
             extr,
             jnp.asarray(intr),
             num_target_views=v_t,
             rng=rng,
         )
-        # Device uint8 array; callers convert after submitting all chunks so
-        # JAX's async dispatch overlaps host-side prep with device compute.
-        return out
 
     @staticmethod
     def _take(views: SceneViews, idx) -> SceneViews:
@@ -293,27 +322,46 @@ class VideoSampler:
             groups_by_anchor[current_anchor].append(current)
 
         # Collect all fill jobs, then run them batched (groups are mutually
-        # independent given the anchors).
-        jobs = []  # (ctx2, padded group views, group positions)
+        # independent given the anchors). Context frames go into ONE shared
+        # device table — ctx0 + the anchors, padded to a fixed 1+num_anchors
+        # size so the compiled shape is stable — and each job references its
+        # (ctx0, anchor) pair by index (see ``sample_u8_indexed``).
+        anchor_rank = {int(a): r for r, a in enumerate(anchor_pos)}
+        table = [self._to_u8(context.images[0])] + [
+            self._to_u8(results[int(target.index[a])]) for a in anchor_pos
+        ]
+        while len(table) < 1 + self.num_anchors:
+            table.append(table[-1])
+        table_u8 = jnp.asarray(np.stack(table))
+
+        jobs = []  # (ctx_idx, ctx cameras, padded group views, group)
         for a_pos, groups in groups_by_anchor.items():
             if not groups:
                 continue
-            anchor_ctx = SceneViews(
-                images=results[int(target.index[a_pos])][None],
-                extrinsics=target.extrinsics[a_pos][None],
-                intrinsics=target.intrinsics[a_pos][None],
-                index=target.index[a_pos][None],
+            ctx_cams = SceneViews(
+                images=None,
+                extrinsics=np.stack(
+                    [context.extrinsics[0], target.extrinsics[a_pos]]
+                ),
+                intrinsics=np.stack(
+                    [context.intrinsics[0], target.intrinsics[a_pos]]
+                ),
+                index=np.stack([context.index[0], target.index[a_pos]]),
             )
-            ctx2 = self._cat(context, anchor_ctx)
+            ctx_idx = np.asarray([0, 1 + anchor_rank[int(a_pos)]], np.int32)
             for group in groups:
                 gviews, _ = self._pad_group(
                     self._take(target, group), self.group_size
                 )
-                jobs.append((ctx2, gviews, group))
+                jobs.append((ctx_idx, ctx_cams, gviews, group))
 
         # Greedy power-of-two chunking: at most log2(max_parallel_groups)+1
         # distinct batch shapes ever compile, with near-zero padding waste
-        # (e.g. the standard 80-frame scene's 26 groups run as 16 + 8 + 2).
+        # (the standard 80-frame scene's 27 groups run as 16 + 8 + 2 + 1).
+        # Measured alternative (rejected): one exact-size launch of all 27
+        # groups was ~0.9 f/s SLOWER — per-frame cost at b=27 is no better
+        # than b=16 and the single launch loses the chunk-level overlap of
+        # host prep / result transfers with device compute.
         buckets = []
         size = self.max_parallel_groups
         while size >= 1:
@@ -332,13 +380,11 @@ class VideoSampler:
             rng, k = jax.random.split(rng)
             # rel_index=1: poses relative to the anchor (reference :881).
             # Submit without syncing; gather after all chunks are in flight.
-            out = self._run_batched(
-                [j[0] for j in chunk], [j[1] for j in chunk], 1, k
-            )
+            out = self._run_batched_indexed(table_u8, chunk, 1, k)
             pending.append((chunk[:real_chunk], out))
         for chunk, out in pending:
             images = np.asarray(out)
-            for (ctx2, gviews, group), imgs in zip(chunk, images):
+            for (ctx_idx, ctx_cams, gviews, group), imgs in zip(chunk, images):
                 for i, p in enumerate(group):
                     results[int(target.index[p])] = imgs[i]
         return results

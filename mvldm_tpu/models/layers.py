@@ -53,21 +53,31 @@ def timestep_embedding(
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of input dtype."""
+    """GroupNorm with fp32 statistics regardless of input dtype, with an
+    optional fused activation.
+
+    Compute goes through XLA's GroupNorm lowering: the Pallas alternative
+    (``ops/group_norm.py``) matches it standalone (both sit at the chip's
+    measured ~72 GB/s elementwise floor) but measured SLOWER in-graph — the
+    custom-call boundary blocks XLA from fusing the normalize pass with the
+    surrounding residual/time-emb adds. Params stay under ``GroupNorm_0``
+    (checkpoint-conversion contract)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        dtype = x.dtype
         out = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
-        return out.astype(dtype)
+        if self.act == "silu":
+            out = nn.silu(out)
+        return out.astype(x.dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -84,8 +94,7 @@ class ResnetBlock(nn.Module):
         in_channels = x.shape[-1]
         residual = x
 
-        h = GroupNorm(self.groups, self.eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
         )(h)
@@ -97,8 +106,7 @@ class ResnetBlock(nn.Module):
             )
             h = h + t[:, None, None, :]
 
-        h = GroupNorm(self.groups, self.eps, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm2")(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
         )(h)
@@ -205,6 +213,152 @@ class CrossAttention(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with ``nn.Dense``'s tree ({kernel[, bias]})."""
+
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.din, self.dout),
+            jnp.float32,
+        )
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dout,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter holder with ``nn.LayerNorm``'s tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
+class _GEGLUParams(nn.Module):
+    """Parameter tree of :class:`GEGLU` (child Dense named ``proj``)."""
+
+    din: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(self.din, self.inner * 2, name="proj")()
+
+
+class _FeedForwardParams(nn.Module):
+    """Parameter tree of :class:`FeedForward` (net_0 GEGLU + net_2 Dense)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        inner = self.dim * self.mult
+        w1, b1 = _GEGLUParams(self.dim, inner, name="net_0")()
+        w2, b2 = _DenseParams(inner, self.dim, name="net_2")()
+        return w1, b1, w2, b2
+
+
+class _SelfAttnParams(nn.Module):
+    """Parameter tree of the SD-convention self-attention modules
+    (:class:`CrossAttention` / ``mv_attention.SelfAttention``): bias-free
+    to_q/to_k/to_v, biased to_out."""
+
+    din: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        wq, _ = _DenseParams(self.din, self.inner, use_bias=False,
+                             name="to_q")()
+        wk, _ = _DenseParams(self.din, self.inner, use_bias=False,
+                             name="to_k")()
+        wv, _ = _DenseParams(self.din, self.inner, use_bias=False,
+                             name="to_v")()
+        wo, bo = _DenseParams(self.inner, self.din, name="to_out")()
+        return wq, wk, wv, wo, bo
+
+
+def self_attn_block(x: Array, dim: int, num_heads: int, head_dim: int,
+                    dtype, norm_name: str, attn_name: str) -> Array:
+    """``x + Attn(LayerNorm(x))`` (per-token-sequence self-attention)
+    through the fused TPU kernel (``ops/fused_attn.py``), with the
+    parameter tree of the decomposed LayerNorm + attention modules. Falls
+    back to the decomposed path (flash attention + separate projections)
+    on CPU and for wide channels. Must be called inside ``nn.compact``."""
+    from ..ops.fused_attn import MAX_FUSED_CHANNELS, fused_ln_self_attention
+
+    ln_scale, ln_bias = _LayerNormParams(dim, name=norm_name)()
+    inner = num_heads * head_dim
+    wq, wk, wv, wo, bo = _SelfAttnParams(dim, inner, name=attn_name)()
+
+    use_fused = jax.default_backend() not in ("cpu",) and (
+        dim <= MAX_FUSED_CHANNELS
+    )
+    if use_fused:
+        return fused_ln_self_attention(
+            x, ln_scale, ln_bias,
+            wq.astype(dtype), wk.astype(dtype), wv.astype(dtype),
+            wo.astype(dtype), bo,
+            num_heads=num_heads, head_dim=head_dim,
+        )
+
+    # Decomposed path, numerically the previous module stack.
+    from ..ops.attention import attention
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias).astype(
+        dtype
+    )
+    b, l, _ = h.shape
+    q = jnp.dot(h, wq.astype(dtype)).reshape(b, l, num_heads, head_dim)
+    k = jnp.dot(h, wk.astype(dtype)).reshape(b, l, num_heads, head_dim)
+    v = jnp.dot(h, wv.astype(dtype)).reshape(b, l, num_heads, head_dim)
+    out = attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
+    y = jnp.dot(out, wo.astype(dtype)) + bo.astype(dtype)
+    return x + y.astype(x.dtype)
+
+
+def ff_block(x: Array, dim: int, dtype, norm_name: str = "norm3",
+             ff_name: str = "ff") -> Array:
+    """``x + FeedForward(LayerNorm(x))`` through the fused TPU kernel
+    (``ops/fused_ff.py``), with the parameter tree of the decomposed
+    ``nn.LayerNorm(norm3)`` + ``FeedForward(ff)`` modules (checkpoint-
+    conversion contract). Must be called inside a parent ``nn.compact``."""
+    from ..ops.fused_ff import fused_ln_geglu_ff
+
+    ln_scale, ln_bias = _LayerNormParams(dim, name=norm_name)()
+    w1, b1, w2, b2 = _FeedForwardParams(dim, name=ff_name)()
+    return fused_ln_geglu_ff(
+        x, ln_scale, ln_bias,
+        w1.astype(dtype), b1, w2.astype(dtype), b2,
+    )
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
@@ -246,10 +400,10 @@ class TransformerBlock2D(nn.Module):
         conditioning: attn2 collapses to its exact constant (see
         ``CrossAttention``)."""
         dim = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        x = x + CrossAttention(
-            self.num_heads, self.head_dim, dim, dtype=self.dtype, name="attn1"
-        )(h)
+        x = self_attn_block(
+            x, dim, self.num_heads, self.head_dim, self.dtype,
+            norm_name="norm1", attn_name="attn1",
+        )
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, dim, dtype=self.dtype, name="attn2"
@@ -258,9 +412,7 @@ class TransformerBlock2D(nn.Module):
             context,
             zero_context_dim=self.context_dim if context is None else None,
         )
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
-        x = x + FeedForward(dim, dtype=self.dtype, name="ff")(h)
-        return x
+        return ff_block(x, dim, self.dtype)
 
 
 class Transformer2D(nn.Module):

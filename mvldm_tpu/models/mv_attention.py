@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..ops.attention import NEG_INF, attention
-from .layers import FeedForward, GroupNorm
+from .layers import GroupNorm, ff_block, self_attn_block
 
 
 @dataclass
@@ -94,15 +94,13 @@ class BasicTransformerBlock3D(nn.Module):
         )(h, key_bias=key_bias)
         x = joint.reshape(bv, l, c)
 
-        # attn2: per-frame.
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
-        x = x + SelfAttention(
-            self.num_heads, self.head_dim, dtype=self.dtype, name="attn2"
-        )(h)
+        # attn2: per-frame, through the fused LN+attention kernel.
+        x = self_attn_block(
+            x, c, self.num_heads, self.head_dim, self.dtype,
+            norm_name="norm2", attn_name="attn2",
+        )
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
-        x = x + FeedForward(c, dtype=self.dtype, name="ff")(h)
-        return x
+        return ff_block(x, c, self.dtype)
 
 
 class SpatialTransformer3D(nn.Module):

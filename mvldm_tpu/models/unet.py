@@ -273,10 +273,9 @@ class MultiViewUNet(nn.Module):
                 )(hidden)
 
         # 3. Output head.
-        hidden = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="conv_norm_out")(
-            hidden
-        )
-        hidden = nn.silu(hidden)
+        hidden = GroupNorm(
+            cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out"
+        )(hidden)
         hidden = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(hidden)

@@ -119,8 +119,9 @@ class Encoder(nn.Module):
             eps=1e-6, dtype=self.dtype, name="mid_res_1",
         )(h)
 
-        h = GroupNorm(cfg.norm_num_groups, 1e-6, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(
+            cfg.norm_num_groups, 1e-6, act="silu", name="conv_norm_out"
+        )(h)
         return nn.Conv(
             2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
             name="conv_out",
@@ -166,8 +167,9 @@ class Decoder(nn.Module):
             if i < len(reversed_channels) - 1:
                 h = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = GroupNorm(cfg.norm_num_groups, 1e-6, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(
+            cfg.norm_num_groups, 1e-6, act="silu", name="conv_norm_out"
+        )(h)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)

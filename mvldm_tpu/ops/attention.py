@@ -158,6 +158,12 @@ def flash_attention(
     # program does little MXU work, so per-program overhead dominates with
     # small blocks (measured on v5e at L=5120, D=40: 256x512 blocks -> 11
     # TF/s, 1024x1024 -> 32 TF/s). Blocks clamp to the padded seq lengths.
+    # Wide heads (the VAE's single 512-dim head) shrink the blocks to stay
+    # inside the 16 MB scoped-VMEM budget (double-buffered q/k/v blocks +
+    # f32 scores + the [acc|l] accumulator).
+    if d > 128:
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
     lq_pad = _round_up(lq, block_q)
