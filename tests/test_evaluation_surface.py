@@ -53,7 +53,8 @@ class TestEvaluationConfigSurface:
         )
         # Sibling protocols compose too.
         for name in ("re10k_video_100", "re10k_video_150", "re10k_video_all",
-                     "re10k_video_anchor"):
+                     "re10k_video_anchor", "re10k_intra", "re10k_extra",
+                     "re10k_video_training_evolution", "re10k_video_vldm"):
             d = compose([f"+evaluation={name}"], main_name="compute_metrics")
             assert d["dataset"]["view_sampler"]["name"] == "evaluation"
 
