@@ -19,8 +19,23 @@ from PIL import Image
 
 
 def load_chunk(path: Path) -> List[Dict[str, Any]]:
-    """Load one chunk; returns a list of scene dicts with numpy cameras."""
-    import torch  # local import: host-side IO only
+    """Load one chunk; returns a list of scene dicts with numpy cameras.
+
+    Prefers the native C++ decoder (``native/chunk_decoder.cpp``: zip +
+    torch-pickle parsed directly, no torch import); falls back to
+    ``torch.load`` when the library is unavailable or refuses the file.
+    Set ``MVLDM_NATIVE_CHUNKS=0`` to force the fallback."""
+    from .native_chunk import load_chunk_native
+
+    try:
+        return load_chunk_native(path)
+    except RuntimeError as e:
+        if "decode failed" in str(e):
+            # The library built and ran but rejected this file — say so
+            # before silently re-parsing with torch.
+            print(f"native chunk decoder: {e}; falling back to torch.load")
+
+    import torch  # host-side IO fallback only
 
     chunk = torch.load(path, weights_only=True, map_location="cpu")
     out = []
