@@ -45,6 +45,7 @@ class TestStandardTransformer:
         out2 = block.apply(params, x.at[:, 2].add(1.0))
         assert not np.allclose(np.asarray(out1[:, 0]), np.asarray(out2[:, 0]))
 
+    @pytest.mark.slow
     def test_downscale_roundtrip_shape(self):
         cfg = CrossAttentionCfg(num_heads=4, d_mlp_multiplier=1, downscale=2)
         block = StandardTransformer(cfg)

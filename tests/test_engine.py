@@ -191,6 +191,7 @@ class TestSample:
         assert out.shape == (1, 3, 32, 32, 3)
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
+    @pytest.mark.slow
     def test_seeded_determinism(self, tiny_engine):
         engine, unet_params, vae_params = tiny_engine
         batch = make_batch(jax.random.PRNGKey(7), b=1)

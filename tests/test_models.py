@@ -34,12 +34,14 @@ def init_unet(cfg=None, in_channels=11, out_channels=4, h=16, w=16, b=1, v=3):
 
 
 class TestMultiViewUNet:
+    @pytest.mark.slow
     def test_forward_shape(self):
         model, params, x, t = init_unet()
         out = model.apply(params, x, t)
         assert out.shape == (1, 3, 16, 16, 4)
         assert bool(jnp.isfinite(out).all())
 
+    @pytest.mark.slow
     def test_per_view_timesteps_differ(self):
         model, params, x, _ = init_unet()
         t_uniform = jnp.full((1, 3), 100, dtype=jnp.int32)
@@ -48,6 +50,7 @@ class TestMultiViewUNet:
         out_m = model.apply(params, x, t_mixed)
         assert not np.allclose(np.asarray(out_u), np.asarray(out_m))
 
+    @pytest.mark.slow
     def test_view_mask_makes_padding_exact(self):
         """A padded view excluded via view_mask must not change real views'
         outputs — the invariant behind single-launch batched CFG."""
@@ -114,6 +117,7 @@ class TestSpatialTransformer3D:
 
 
 class TestVAE:
+    @pytest.mark.slow
     def test_roundtrip_shapes(self):
         cfg = AutoencoderKLCfg(
             block_out_channels=(16, 32, 32, 32),
@@ -130,6 +134,7 @@ class TestVAE:
         out = vae.apply(params, z, method=AutoencoderKL.decode)
         assert out.shape == (1, 64, 64, 3)
 
+    @pytest.mark.slow
     def test_encode_is_stochastic_but_seeded(self):
         cfg = AutoencoderKLCfg(
             block_out_channels=(16, 32, 32, 32),

@@ -308,6 +308,7 @@ def synth_unet_sd(backbone: UNetBackboneCfg, in_ch: int, out_ch: int) -> dict:
 
 
 class TestStructureRoundtrip:
+    @pytest.mark.slow
     def test_unet_structure_matches_flax_init(self):
         backbone = UNetBackboneCfg(
             down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
