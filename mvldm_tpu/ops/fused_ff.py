@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Fuse only where the weights fit comfortably in scoped VMEM.
 MAX_FUSED_CHANNELS = 640

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Largest (L, C) block the kernel takes in one program. Pallas double-
 # buffers the input AND output blocks against a 16 MB scoped-VMEM limit
