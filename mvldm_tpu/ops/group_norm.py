@@ -1,21 +1,22 @@
-"""Fused GroupNorm (+ optional SiLU) for TPU.
+"""Fused GroupNorm (+ optional SiLU) for TPU — available op.
 
-Flax's ``nn.GroupNorm`` reshapes channels into (groups, C/G) and reduces
-over the trailing slice — with SD2.1's 32 groups over 320-1280 channels the
-10-40-lane group slices break the (8, 128) VPU tiling and the op runs at
-~10% of HBM bandwidth (measured 3.1 ms for an 84 MB tensor on v5e, ~10x the
-3-pass ideal; it was ~25% of the UNet denoise step). This kernel keeps all
-reductions lane-aligned instead:
+Keeps all reductions lane-aligned:
 
 1. per-CHANNEL sums over the spatial axis — a clean sublane reduction;
 2. channel->group mixing (and the broadcast back) as tiny matmuls with a
    0/1 group-membership matrix on the MXU;
 3. one normalize (+affine, + optional SiLU) pass.
 
-Statistics are f32 regardless of input dtype (the wrapper module's
-contract). Backward is analytic jnp in the same lane-aligned formulation.
-Replaces the GroupNorm the reference gets from torch/diffusers (e.g.
-``mvunet.py`` resnets, ``mvdream/attention.py:377`` proj_in norm).
+Statistics are f32 regardless of input dtype. Backward is analytic jnp in
+the same lane-aligned formulation.
+
+Measured outcome (BENCHMARKS.md "negative results"): standalone this kernel
+MATCHES XLA's GroupNorm lowering on the bench chip — both sit at the chip's
+~72 GB/s elementwise floor — and in-graph the custom-call boundary blocks
+XLA from fusing the normalize pass with neighboring residual/time-emb adds,
+so the model's ``models/layers.GroupNorm`` intentionally stays on flax's
+inline lowering. The kernel remains exported for standalone use and as the
+measured reference point for future norm-fusion work.
 """
 
 from __future__ import annotations
