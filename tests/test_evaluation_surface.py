@@ -123,6 +123,61 @@ class TestEvaluationConfigSurface:
         assert set(per_scene["psnr"]) == {"scenetest0000", "scenetest0001"}
         assert "ours" in per_scene["psnr"]["scenetest0000"]
 
+    def test_full_metric_set_with_fixture_weights(self, eval_setup, tmp_path):
+        """With converted (fixture) VGG+DISTS weights, the Hydra surface
+        produces psnr/ssim/lpips/dists AND the per-scene VGG-FID — the
+        complete reference metric set, no silent skips."""
+        from test_metrics import make_fake_vgg_npz
+
+        from mvldm_tpu.scripts import compute_metrics, generate_gt
+        from mvldm_tpu.utils.image_io import load_image, save_image
+
+        root, index_path, _ = eval_setup
+        weights = make_fake_vgg_npz(tmp_path / "vgg.npz")
+
+        gt_dir = tmp_path / "gt"
+        generate_gt.main(
+            [
+                f"dataset.root={root}",
+                f"output_dir={gt_dir}",
+                "dataset/view_sampler=evaluation",
+                f"dataset.view_sampler.index_path={index_path}",
+                "dataset.image_shape=[64,64]",
+                "trainer.limit_test_batches=1",
+            ]
+        )
+        method_dir = tmp_path / "renders"
+        rng = np.random.default_rng(0)
+        for scene_dir in gt_dir.iterdir():
+            for png in scene_dir.glob("*.png"):
+                img = load_image(png)
+                noisy = np.clip(
+                    img + 0.05 * rng.normal(size=img.shape), 0, 1
+                ).astype(np.float32)
+                save_image(
+                    noisy, method_dir / scene_dir.name / "color" / png.name
+                )
+
+        out_metrics = tmp_path / "metrics.json"
+        compute_metrics.main(
+            [
+                "+evaluation=re10k_video",
+                f"dataset.root={root}",
+                f"dataset.view_sampler.index_path={index_path}",
+                "dataset.image_shape=[64,64]",
+                f"evaluation.methods=[{{name: ours, key: ours, path: {method_dir}}}]",
+                f"output_metrics_path={out_metrics}",
+                f"per_scene_metrics_path={tmp_path / 'scenes.json'}",
+                f"lpips_weights={weights}",
+                "limit_test_batches=1",
+            ]
+        )
+        results = json.loads(out_metrics.read_text())["ours"]
+        assert {"psnr", "ssim", "lpips", "dists", "fid_vgg"} <= set(results)
+        assert results["num_scenes"] == 1
+        assert results["lpips"] > 0 and 0 <= results["dists"] <= 1
+        assert np.isfinite(results["fid_vgg"])
+
     def test_missing_renders_are_skipped_loudly(self, eval_setup, tmp_path, capsys):
         from mvldm_tpu.scripts import compute_metrics
 
