@@ -181,9 +181,8 @@ class MetricComputer:
                 self._running[k] = (s * prev + v) / (s + 1)
         self._running_steps += 1
 
-        from tabulate import tabulate
-
         metric_names = ("psnr", "lpips", "dists", "ssim", "fid_vgg")
+        headers = ["Method", "PSNR (dB)", "LPIPS", "DISTS", "SSIM", "FID(VGG)"]
         table = []
         for method in self.cfg.methods:
             row = [
@@ -192,8 +191,17 @@ class MetricComputer:
                 for m in metric_names
             ]
             table.append((method.key, *row))
-        print(tabulate(table, ["Method", "PSNR (dB)", "LPIPS", "DISTS",
-                               "SSIM", "FID(VGG)"]))
+        try:
+            from tabulate import tabulate
+        except ImportError:  # not a declared dependency — plain fallback
+            widths = [
+                max(len(str(r[i])) for r in [headers] + table)
+                for i in range(len(headers))
+            ]
+            for r in [headers] + table:
+                print("  ".join(str(c).ljust(w) for c, w in zip(r, widths)))
+        else:
+            print(tabulate(table, headers))
 
     def compute_over_dataset(
         self,
@@ -241,7 +249,10 @@ class MetricComputer:
                     for k, v in metrics.items():
                         acc = sums[method.key]
                         acc[k] = acc.get(k, 0.0) + v
-                        batch_metrics[f"{k}_{method.key}"] = v
+                        # Per-BATCH mean for the preview table (not just the
+                        # last scene of the batch).
+                        bk = f"{k}_{method.key}"
+                        batch_metrics[bk] = batch_metrics.get(bk, 0.0) + v / b
                     counts[method.key] += 1
             if batch_metrics:
                 self._print_running(batch_metrics)

@@ -304,15 +304,15 @@ def self_attn_block(x: Array, dim: int, num_heads: int, head_dim: int,
     parameter tree of the decomposed LayerNorm + attention modules. Falls
     back to the decomposed path (flash attention + separate projections)
     on CPU and for wide channels. Must be called inside ``nn.compact``."""
-    from ..ops.fused_attn import MAX_FUSED_CHANNELS, fused_ln_self_attention
+    from ..ops.fused_attn import _use_pallas, fused_ln_self_attention
 
     ln_scale, ln_bias = _LayerNormParams(dim, name=norm_name)()
     inner = num_heads * head_dim
     wq, wk, wv, wo, bo = _SelfAttnParams(dim, inner, name=attn_name)()
 
-    use_fused = jax.default_backend() not in ("cpu",) and (
-        dim <= MAX_FUSED_CHANNELS
-    )
+    # Byte-size gate: a float32 engine (e.g. the parity harness) halves the
+    # fusable channel width so f32 weights never overflow scoped VMEM.
+    use_fused = _use_pallas(dim, jnp.dtype(dtype))
     if use_fused:
         return fused_ln_self_attention(
             x, ln_scale, ln_bias,

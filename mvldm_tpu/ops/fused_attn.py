@@ -37,6 +37,9 @@ import jax.numpy as jnp
 from jax import Array
 from jax.experimental import pallas as pl
 
+# VMEM gate in BYTES per channel-row (see ops/fused_ff.py): a float32 engine
+# halves the channel cap instead of overflowing scoped VMEM with f32 weights.
+MAX_FUSED_CHANNEL_BYTES = 640 * 2
 MAX_FUSED_CHANNELS = 640
 LANE = 128
 
@@ -184,14 +187,17 @@ def _attn_jnp(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads: int,
     return (xf + y).astype(dtype)
 
 
-def _use_pallas(c: int) -> bool:
-    return jax.default_backend() not in ("cpu",) and c <= MAX_FUSED_CHANNELS
+def _use_pallas(c: int, dtype) -> bool:
+    return (
+        jax.default_backend() not in ("cpu",)
+        and c * jnp.dtype(dtype).itemsize <= MAX_FUSED_CHANNEL_BYTES
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _attn_prim(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads,
                head_dim, eps):
-    if _use_pallas(x.shape[-1]):
+    if _use_pallas(x.shape[-1], wq.dtype):
         return _attn_pallas(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
                             num_heads, head_dim, eps=eps)
     return _attn_jnp(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads,

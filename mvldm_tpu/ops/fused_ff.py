@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from jax import Array
 from jax.experimental import pallas as pl
 
-# Fuse only where the weights fit comfortably in scoped VMEM.
+# Fuse only where the weights fit comfortably in scoped VMEM. The budget is
+# expressed in BYTES per channel-row (cap derived from the bf16 C=640 case:
+# W1 640x5120 + W2 2560x640 bf16 ~ 9.8 MB against the 16 MB scoped budget),
+# so a float32 engine — e.g. the parity harness — halves the channel cap
+# instead of compiling a kernel whose f32 weights overflow VMEM.
+MAX_FUSED_CHANNEL_BYTES = 640 * 2
+# Back-compat element-count cap for bf16 (used by tests/docs).
 MAX_FUSED_CHANNELS = 640
 
 
@@ -139,13 +145,16 @@ def _ff_jnp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-6):
     return (xf + o).astype(dtype)
 
 
-def _use_pallas(c: int) -> bool:
-    return jax.default_backend() not in ("cpu",) and c <= MAX_FUSED_CHANNELS
+def _use_pallas(c: int, dtype) -> bool:
+    return (
+        jax.default_backend() not in ("cpu",)
+        and c * jnp.dtype(dtype).itemsize <= MAX_FUSED_CHANNEL_BYTES
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _ff_prim(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
-    if _use_pallas(x.shape[-1]):
+    if _use_pallas(x.shape[-1], w1.dtype):
         return _ff_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
     return _ff_jnp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
 

@@ -186,10 +186,24 @@ ValuePtr run_pickle(const uint8_t* data, size_t len) {
     if (name == "torch._utils._rebuild_tensor_v2") {
       // (storage, storage_offset, size, stride, requires_grad, hooks[, meta])
       if (args->items.size() < 4) throw Error("_rebuild_tensor_v2 arity");
+      // tensor_bytes assumes contiguous row-major layout; a non-contiguous
+      // tensor must throw (triggering the caller's torch.load fallback)
+      // rather than be decoded with the wrong element order.
+      const ValuePtr& sizes = args->items[2];
+      const ValuePtr& strides = args->items[3];
+      if (strides->items.size() != sizes->items.size())
+        throw Error("_rebuild_tensor_v2 stride/size rank mismatch");
+      int64_t expect = 1;
+      for (int j = (int)sizes->items.size() - 1; j >= 0; --j) {
+        // Dims of extent 1 have arbitrary stride in torch; skip them.
+        if (sizes->items[j]->i != 1 && strides->items[j]->i != expect)
+          throw Error("non-contiguous tensor in chunk (unsupported)");
+        expect *= sizes->items[j]->i;
+      }
       auto t = mk(Kind::Tensor);
       t->items.push_back(args->items[0]);  // storage
       t->i = args->items[1]->i;            // offset (elements)
-      t->items.push_back(args->items[2]);  // sizes tuple
+      t->items.push_back(sizes);           // sizes tuple
       return t;
     }
     if (name == "collections.OrderedDict") return mk(Kind::Dict);
@@ -366,10 +380,12 @@ ValuePtr dict_get(const ValuePtr& d, const std::string& key) {
 }
 
 size_t dtype_size(const std::string& storage) {
+  // Longer / more specific names first: "BFloat16Storage" contains "Float",
+  // so testing "Float" first would silently mis-size bf16 tensors.
+  if (storage.find("BFloat16") != std::string::npos) return 2;
   if (storage.find("Float") != std::string::npos) return 4;
   if (storage.find("Double") != std::string::npos) return 8;
   if (storage.find("Half") != std::string::npos) return 2;
-  if (storage.find("BFloat16") != std::string::npos) return 2;
   if (storage.find("Long") != std::string::npos) return 8;
   if (storage.find("Int") != std::string::npos) return 4;
   if (storage.find("Short") != std::string::npos) return 2;
@@ -433,7 +449,8 @@ Chunk* load_chunk(const char* path) {
       throw Error("scene missing key/cameras/images");
     s.key = key->s;
 
-    if (cams->items[0]->s.find("Float") == std::string::npos)
+    if (cams->items[0]->s.find("Float") == std::string::npos ||
+        cams->items[0]->s.find("BFloat16") != std::string::npos)
       throw Error("cameras storage is not float32");
     auto [cb, cn] = tensor_bytes(cams);
     s.cam_rows = (int)cams->items[1]->items[0]->i;
