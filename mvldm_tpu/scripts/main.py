@@ -335,6 +335,17 @@ def run_test(cfg: RootCfg) -> None:
 
 
 def main(argv=None) -> None:
+    # Multi-host bring-up must precede first device use (no-op unless the
+    # MVLDM_COORDINATOR / MVLDM_DISTRIBUTED env vars request it — see
+    # parallel/distributed.py for the per-host launch recipe).
+    from ..parallel.distributed import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        print(
+            f"distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.device_count()} devices total"
+        )
+
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg_dict = compose(overrides)
     set_cfg(cfg_dict)

@@ -58,6 +58,74 @@ class TestEvaluationConfigSurface:
             d = compose([f"+evaluation={name}"], main_name="compute_metrics")
             assert d["dataset"]["view_sampler"]["name"] == "evaluation"
 
+    def test_compose_co3d_evaluation_groups(self):
+        """All 9 CO3D protocols compose (the reference ships these yamls but
+        not their dataset group — reconstructed here, see
+        configs/dataset/co3d_hydrant.yaml)."""
+        from mvldm_tpu.scripts.compute_metrics import load_compute_metrics_cfg
+
+        cfg = load_compute_metrics_cfg(["+evaluation=co3d_hydrant_360"])
+        assert cfg.dataset.view_sampler.name == "evaluation"
+        assert cfg.dataset.cameras_are_circular
+        assert cfg.dataset.view_sampler.index_path == Path(
+            "assets/evaluation_index/co3d_hydrant_360.json"
+        )
+        assert cfg.evaluation.highlighted[0].scene == "304_31882_60482"
+
+        from mvldm_tpu.config import compose
+
+        for name in ("co3d_hydrant_360", "co3d_hydrant_360_features",
+                     "co3d_hydrant_extra", "co3d_hydrant_extra_ablation",
+                     "co3d_hydrant_intra", "co3d_teddybear_360",
+                     "co3d_teddybear_360_features", "co3d_teddybear_extra",
+                     "co3d_teddybear_intra"):
+            d = compose([f"+evaluation={name}"], main_name="compute_metrics")
+            assert d["dataset"]["view_sampler"]["name"] == "evaluation"
+            assert "co3d" in d["dataset"]["root"]
+
+    def test_generate_co3d_evaluation_index(self, eval_setup, tmp_path,
+                                            capsys):
+        """The CO3D generator CLI runs over a synthetic chunk tree (both
+        intra and extra protocols) and writes a loadable index."""
+        from mvldm_tpu.scripts import generate_co3d_evaluation_index
+
+        root, _, _ = eval_setup
+        out = tmp_path / "co3d_index"
+        generate_co3d_evaluation_index.main(
+            [
+                "--dataset-root", str(root),
+                "--output-path", str(out),
+                "--min-distance", "2",
+                "--max-distance", "5",
+                "--num-targets", "2",
+            ]
+        )
+        index = json.loads((out / "evaluation_index.json").read_text())
+        assert index  # at least one scene produced entries
+        for entries in index.values():
+            for e in entries:
+                assert len(e["context"]) == 2
+                assert len(e["target"]) == 2
+                # Indices are circular (CO3D orbits): context pairs and the
+                # intra interval may wrap past frame 0, so assert validity,
+                # not linear containment.
+                assert all(0 <= t < 30 for t in e["target"])
+                assert all(0 <= c < 30 for c in e["context"])
+
+        out2 = tmp_path / "co3d_index_extra"
+        generate_co3d_evaluation_index.main(
+            [
+                "--dataset-root", str(root),
+                "--output-path", str(out2),
+                "--extra",
+                "--min-distance", "2",
+                "--max-distance", "4",
+                "--num-targets", "2",
+            ]
+        )
+        index2 = json.loads((out2 / "evaluation_index.json").read_text())
+        assert index2
+
     def test_shipped_video_index_matches_reference_protocol(self):
         path = Path("assets/evaluation_index/re10k_video.json")
         index = json.loads(path.read_text())

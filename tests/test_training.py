@@ -13,6 +13,23 @@ from mvldm_tpu.training.trainer import TrainState, batch_from_arrays, make_train
 from test_engine import tiny_engine, make_batch  # fixtures
 
 
+def sharded_bytes_fraction(tree) -> float:
+    """Fraction of the tree's bytes whose addressable shard is strictly
+    smaller than the global array — i.e. memory actually distributed, not
+    merely annotated. Scalar/empty leaves count as unsharded."""
+    total = 0
+    sharded = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if not hasattr(leaf, "addressable_shards") or leaf.size == 0:
+            continue
+        nbytes = leaf.size * leaf.dtype.itemsize
+        total += nbytes
+        shard_shape = leaf.addressable_shards[0].data.shape
+        if np.prod(shard_shape) < leaf.size:
+            sharded += nbytes
+    return sharded / total if total else 0.0
+
+
 class TestLRSchedule:
     def test_linear_lr_torch_semantics(self):
         cfg = LRSchedulerCfg(
@@ -181,6 +198,12 @@ class TestZero1Sharding:
             any(axis == "data" for axis in spec if axis is not None)
             for spec in specs
         ), f"no sharded opt leaves: {specs[:5]}"
+        # Memory-level check: most optimizer-state BYTES live in addressable
+        # shards strictly smaller than the global shape (a regression that
+        # silently replicated moments would pass the loss check above but
+        # fail this — the ZeRO-1 memory claim in BENCHMARKS.md).
+        frac = sharded_bytes_fraction(z1_state.opt_state)
+        assert frac > 0.9, f"only {frac:.2%} of opt-state bytes are sharded"
 
 
 class TestFSDPSharding:
@@ -240,6 +263,14 @@ class TestFSDPSharding:
             any(axis == "data" for axis in spec if axis is not None)
             for spec in param_specs
         ), f"no sharded param leaves: {param_specs[:5]}"
+        # Memory-level check: most parameter AND optimizer-state bytes have
+        # addressable shards strictly smaller than the global shape (the
+        # FSDP memory claim — loss parity alone would not catch silent
+        # replication).
+        pfrac = sharded_bytes_fraction(f_state.params)
+        ofrac = sharded_bytes_fraction(f_state.opt_state)
+        assert pfrac > 0.9, f"only {pfrac:.2%} of param bytes are sharded"
+        assert ofrac > 0.9, f"only {ofrac:.2%} of opt-state bytes are sharded"
 
 
 class TestCheckpoint:
