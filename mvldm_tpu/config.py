@@ -119,6 +119,9 @@ class TrainerCfg:
     accumulate_grad_batches: int = 1
     limit_test_batches: int = 32
     strategy: str = "data_parallel"
+    # Model-axis width for strategy="data_model" (tensor-parallel joint
+    # cross-view attention; devices = num_data x num_model).
+    num_model: int = 2
     # Rematerialize the UNet forward in the backward pass (jax.checkpoint):
     # ~33% extra step FLOPs for a large activation-memory cut. No reference
     # counterpart (torch would use gradient checkpointing).

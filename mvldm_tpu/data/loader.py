@@ -24,8 +24,11 @@ from .view_samplers import StepTracker, get_view_sampler
 
 @dataclass
 class DataLoaderStageCfg:
-    """Reference ``data_module.py:33-40`` (num_workers/persistent_workers are
-    kept for config-surface parity; prefetch is thread-based here)."""
+    """Reference ``data_module.py:33-40``. ``num_workers`` is honored as the
+    width of the TRAIN decode thread pool (JPEG decode + LANCZOS crop run in
+    PIL C code that releases the GIL, so threads scale without the
+    reference's worker processes); ``persistent_workers`` is config-surface
+    parity only."""
 
     num_workers: int = 16
     persistent_workers: bool = True
@@ -174,9 +177,74 @@ class DataModule:
             if not repeat:
                 return
 
+    def _parallel_train_examples(
+        self, cfg: DataLoaderStageCfg, num_workers: int
+    ) -> Iterator[Example]:
+        """Examples from ``num_workers`` independent dataset streams decoded
+        in parallel threads — the analogue of the reference's 16 DataLoader
+        worker processes (``config/main.yaml:44-57``), viable in-process
+        because PIL's JPEG decode and LANCZOS resize release the GIL. Each
+        worker draws an independent seeded stream, exactly like the
+        reference's per-worker seeding (``data_module.py:53``)."""
+        out: "queue.Queue" = queue.Queue(maxsize=4 * cfg.batch_size)
+        stop = threading.Event()
+        _SENTINEL = object()
+
+        def worker(widx: int):
+            seed = None if cfg.seed is None else cfg.seed + 7919 * widx
+            try:
+                while not stop.is_set():
+                    for example in self._dataset("train", seed):
+                        if stop.is_set():
+                            return
+                        out.put(example)
+            except Exception as e:
+                out.put(e)
+            finally:
+                out.put(_SENTINEL)
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(num_workers)
+        ]
+        for t in threads:
+            t.start()
+        live = num_workers
+        try:
+            while live:
+                item = out.get()
+                if item is _SENTINEL:
+                    live -= 1
+                    continue
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Unblock producers stuck on a full queue.
+            while not out.empty():
+                try:
+                    out.get_nowait()
+                except queue.Empty:
+                    break
+
     def train_dataloader(self) -> Iterator[Dict[str, Any]]:
         cfg = self.data_loader_cfg.train
-        return PrefetchIterator(self._batches("train", cfg, repeat=True))
+        import os
+
+        workers = max(1, min(cfg.num_workers, os.cpu_count() or 1))
+        if workers == 1:
+            return PrefetchIterator(self._batches("train", cfg, repeat=True))
+
+        def batched() -> Iterator[Dict[str, Any]]:
+            buf: List[Example] = []
+            for example in self._parallel_train_examples(cfg, workers):
+                buf.append(example)
+                if len(buf) == cfg.batch_size:
+                    yield collate(buf)
+                    buf = []
+
+        return PrefetchIterator(batched())
 
     def val_dataloader(self) -> Iterator[Dict[str, Any]]:
         cfg = self.data_loader_cfg.val

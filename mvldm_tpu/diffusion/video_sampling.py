@@ -130,25 +130,33 @@ class VideoSampler:
         target: SceneViews,
         rel_index: int,
         rng: jax.Array,
-    ) -> np.ndarray:
-        """One bucketed sampling call; returns (v_t, h, w, 3) uint8 images."""
-        v_c = context.images.shape[0]
+    ) -> jax.Array:
+        """One bucketed sampling call; returns (v_t, h, w, 3) uint8 images
+        ON DEVICE — callers gather with np.asarray only when the whole
+        scene is dispatched, so sequential windows chain in the device
+        queue instead of bouncing through the host (the tunnel's
+        device<->host round trip costs ~0.1-0.5 s per sync)."""
         v_t = target.extrinsics.shape[0]
         extr = np.concatenate([context.extrinsics, target.extrinsics], axis=0)
         intr = np.concatenate([context.intrinsics, target.intrinsics], axis=0)
-        extr = np.asarray(
-            absolute_to_relative_camera(jnp.asarray(extr)[None], rel_index)[0]
-        )
+        extr = absolute_to_relative_camera(jnp.asarray(extr)[None], rel_index)
+        # context.images may be a host numpy array or a device array from a
+        # previous window (autoregressive / chained anchors) — jnp.asarray
+        # is a no-op for the latter, preserving the async chain.
+        if isinstance(context.images, np.ndarray):
+            ctx_u8 = jnp.asarray(self._to_u8(context.images))
+        else:
+            ctx_u8 = context.images
         out = self._sample(
             self.unet_params,
             self.vae_params,
-            jnp.asarray(self._to_u8(context.images))[None],
-            jnp.asarray(extr)[None],
+            ctx_u8[None],
+            extr,
             jnp.asarray(intr)[None],
             num_target_views=v_t,
             rng=rng,
         )
-        return np.asarray(out[0])
+        return out[0]
 
     def _run_batched_indexed(
         self,
@@ -199,10 +207,24 @@ class VideoSampler:
             index=views.index[idx],
         )
 
-    @staticmethod
-    def _cat(a: SceneViews, b: SceneViews) -> SceneViews:
+    @classmethod
+    def _cat(cls, a: SceneViews, b: SceneViews) -> SceneViews:
+        # Image stacks may mix host frames (the scene context) with device
+        # frames (a previous window's output kept on device for async
+        # chaining): concatenate on device in that case — np.concatenate
+        # would force a host sync.
+        imgs = [a.images, b.images]
+        if any(not isinstance(x, np.ndarray) for x in imgs):
+            imgs = [
+                x if not isinstance(x, np.ndarray)
+                else jnp.asarray(cls._to_u8(x))
+                for x in imgs
+            ]
+            images = jnp.concatenate(imgs, axis=0)
+        else:
+            images = np.concatenate(imgs, axis=0)
         return SceneViews(
-            images=np.concatenate([a.images, b.images], axis=0),
+            images=images,
             extrinsics=np.concatenate([a.extrinsics, b.extrinsics], axis=0),
             intrinsics=np.concatenate([a.intrinsics, b.intrinsics], axis=0),
             index=np.concatenate([a.index, b.index], axis=0),
@@ -250,7 +272,12 @@ class VideoSampler:
                                anchor_step)[:n_anchors]
         anchor_pos = anchor_pos[anchor_pos < n_t]
 
-        results: Dict[int, np.ndarray] = {}
+        # The whole scene is dispatched WITHOUT host syncs — anchor outputs
+        # stay on device (feeding the chained windows and the fill-phase
+        # context table as device slices) and results materialize in one
+        # gather at the end. pending: (device launch output, [(row, frame
+        # index)]) pairs.
+        pending: List[Tuple[jax.Array, List[Tuple[int, int]]]] = []
 
         # Anchor generation. The first window draws up to four anchors from
         # the context alone; when num_anchors_views > 4 the remaining anchors
@@ -269,8 +296,15 @@ class VideoSampler:
         first_views = self._take(target, anchor_pos[:first_n])
         first_padded, real = self._pad_group(first_views, first_bucket)
         anchor_images = self._run(context, first_padded, rel_index=0, rng=k)[:real]
-        for i, pos in enumerate(anchor_pos[:first_n]):
-            results[int(target.index[pos])] = anchor_images[i]
+        pending.append(
+            (anchor_images,
+             [(i, int(target.index[pos]))
+              for i, pos in enumerate(anchor_pos[:first_n])])
+        )
+        # Device rows per anchor rank, feeding the fill-phase context table.
+        anchor_rows: List[jax.Array] = [
+            anchor_images[i] for i in range(first_n)
+        ]
 
         last_anchor_pos = int(anchor_pos[first_n - 1])
         last_anchor_img = anchor_images[real - 1]
@@ -291,8 +325,12 @@ class VideoSampler:
             # diffusion_wrapper.py:769). Same (2, 3) shape bucket as the
             # fill phase, so chaining adds no new compilations.
             imgs = self._run(ctx2, padded, rel_index=1, rng=k)[:real]
-            for i, pos in enumerate(anchor_pos[start:end]):
-                results[int(target.index[pos])] = imgs[i]
+            pending.append(
+                (imgs,
+                 [(i, int(target.index[pos]))
+                  for i, pos in enumerate(anchor_pos[start:end])])
+            )
+            anchor_rows.extend(imgs[i] for i in range(end - start))
             last_anchor_pos = int(anchor_pos[end - 1])
             last_anchor_img = imgs[real - 1]
             start = end
@@ -325,14 +363,14 @@ class VideoSampler:
         # independent given the anchors). Context frames go into ONE shared
         # device table — ctx0 + the anchors, padded to a fixed 1+num_anchors
         # size so the compiled shape is stable — and each job references its
-        # (ctx0, anchor) pair by index (see ``sample_u8_indexed``).
+        # (ctx0, anchor) pair by index (see ``sample_u8_indexed``). The
+        # anchor rows are DEVICE slices of the anchor launches, so the fill
+        # phase chains onto them in the device queue with no host sync.
         anchor_rank = {int(a): r for r, a in enumerate(anchor_pos)}
-        table = [self._to_u8(context.images[0])] + [
-            self._to_u8(results[int(target.index[a])]) for a in anchor_pos
-        ]
+        table = [jnp.asarray(self._to_u8(context.images[0]))] + anchor_rows
         while len(table) < 1 + self.num_anchors:
             table.append(table[-1])
-        table_u8 = jnp.asarray(np.stack(table))
+        table_u8 = jnp.stack(table)
 
         jobs = []  # (ctx_idx, ctx cameras, padded group views, group)
         for a_pos, groups in groups_by_anchor.items():
@@ -368,7 +406,6 @@ class VideoSampler:
             buckets.append(size)
             size //= 2
         start = 0
-        pending = []
         while start < len(jobs):
             remaining = len(jobs) - start
             bucket = next(b for b in buckets if b <= remaining or b == 1)
@@ -381,12 +418,24 @@ class VideoSampler:
             # rel_index=1: poses relative to the anchor (reference :881).
             # Submit without syncing; gather after all chunks are in flight.
             out = self._run_batched_indexed(table_u8, chunk, 1, k)
-            pending.append((chunk[:real_chunk], out))
-        for chunk, out in pending:
+            rows = []
+            for g, (ctx_idx, ctx_cams, gviews, group) in enumerate(
+                chunk[:real_chunk]
+            ):
+                rows.extend(
+                    (g * out.shape[1] + i, int(target.index[p]))
+                    for i, p in enumerate(group)
+                )
+            pending.append((out.reshape(-1, *out.shape[2:]), rows))
+
+        # Single end-of-scene gather: one host transfer per launch output,
+        # overlapped with the still-running later launches by JAX's async
+        # dispatch.
+        results: Dict[int, np.ndarray] = {}
+        for out, rows in pending:
             images = np.asarray(out)
-            for (ctx_idx, ctx_cams, gviews, group), imgs in zip(chunk, images):
-                for i, p in enumerate(group):
-                    results[int(target.index[p])] = imgs[i]
+            for row, frame_index in rows:
+                results[frame_index] = images[row]
         return results
 
     # ------------------------------------------------------- autoregressive
@@ -404,17 +453,26 @@ class VideoSampler:
 
         n_t = len(target.index)
         n_initial = min(self.num_anchors, n_t)
-        results: Dict[int, np.ndarray] = {}
+
+        # Every window's poses are known up front, so the full chain is
+        # dispatched without a single host sync: window N's context image is
+        # a DEVICE slice of window N-1's output, and JAX async dispatch
+        # pipelines the chain (denoise of window N overlaps the VAE decode
+        # and transfer of window N-1). One gather at the end. The reference
+        # round-trips every window through the host
+        # (diffusion_wrapper.py:904-1055).
+        pending: List[Tuple[jax.Array, List[Tuple[int, int]]]] = []
 
         rng, k = jax.random.split(rng)
         initial = self._take(target, np.arange(n_initial))
         initial_padded, real = self._pad_group(initial, self.num_anchors)
         images = self._run(context, initial_padded, rel_index=0, rng=k)[:real]
-        for i in range(real):
-            results[int(target.index[i])] = images[i]
+        pending.append(
+            (images, [(i, int(target.index[i])) for i in range(real)])
+        )
 
         last_pos = n_initial - 1
-        last_image = images[-1]
+        last_image = images[real - 1]
         start = n_initial
         while start < n_t:
             end = min(start + self.group_size, n_t)
@@ -430,9 +488,18 @@ class VideoSampler:
                 self._take(target, np.arange(start, end)), self.group_size
             )
             images = self._run(ctx2, gviews, rel_index=1, rng=k)[:real]
-            for i, p in enumerate(range(start, end)):
-                results[int(target.index[p])] = images[i]
+            pending.append(
+                (images,
+                 [(i, int(target.index[p]))
+                  for i, p in enumerate(range(start, end))])
+            )
             last_pos = end - 1
             last_image = images[real - 1]
             start = end
+
+        results: Dict[int, np.ndarray] = {}
+        for out, rows in pending:
+            host = np.asarray(out)
+            for row, frame_index in rows:
+                results[frame_index] = host[row]
         return results

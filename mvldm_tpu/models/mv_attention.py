@@ -60,7 +60,19 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
-        out = attention(q, k, v, bias=key_bias)
+        # Tensor parallelism (trainer.strategy=data_model): heads shard over
+        # the mesh's model axis — see parallel/tp.py. No-op otherwise.
+        from ..parallel.tp import (
+            get_model_mesh,
+            head_sharded_attention,
+            use_head_sharding,
+        )
+
+        mesh = get_model_mesh()
+        if use_head_sharding(q.shape, mesh):
+            out = head_sharded_attention(mesh, q, k, v, bias=key_bias)
+        else:
+            out = attention(q, k, v, bias=key_bias)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 

@@ -7,10 +7,12 @@ arrays sharded along it, parameters replicated. Gradient reduction is the
 XLA-inserted ``psum`` from jit-compiling a data-sharded loss — the NCCL
 all-reduce equivalent, riding ICI.
 
-A ``model`` axis is provisioned for tensor-parallel extensions (sharding the
-cross-view attention over views/heads) but the reference requires only DP for
-parity. Multi-host: each process feeds its host-local shard of the batch;
-DCN handles cross-host collectives automatically.
+The ``model`` axis carries tensor parallelism for the joint cross-view
+attention (``trainer.strategy=data_model``): Megatron-pattern projection
+shardings here (:func:`tensor_parallel_shardings`) + head-sharded attention
+under ``shard_map`` (``parallel/tp.py``). The reference requires only DP
+for parity. Multi-host: each process feeds its host-local shard of the
+batch; DCN handles cross-host collectives automatically.
 """
 
 from __future__ import annotations
@@ -64,6 +66,34 @@ def fsdp_shardings(mesh: Mesh, tree):
     alone (no hand-written collectives). Cuts parameter + gradient + EMA
     memory by ~N on top of zero1's optimizer-state cut."""
     return zero1_shardings(mesh, tree)
+
+
+def tensor_parallel_shardings(mesh: Mesh, tree):
+    """Megatron-pattern shardings over the ``model`` axis for the joint
+    cross-view attention parameters (the only weights TP'd — see
+    ``parallel/tp.py``): to_q/to_k/to_v kernels (C, H*D) column-sharded so
+    each model rank holds its heads' projections, to_out (H*D, C)
+    row-sharded so the output contraction ends in one XLA-inserted
+    all-reduce. Everything else replicated over ``model``. Apply on top of
+    a data-axis plan by merging specs (the two plans touch disjoint dims
+    of disjoint leaves)."""
+    nm = mesh.shape["model"]
+
+    def leaf_sharding(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(names)
+        shape = getattr(leaf, "shape", ())
+        if "cross_view" in joined and "attn1" in joined and len(shape) == 2:
+            if names[-1] == "kernel" and any(
+                n in ("to_q", "to_k", "to_v") for n in names
+            ) and shape[1] % nm == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if names[-1] == "kernel" and "to_out" in names \
+                    and shape[0] % nm == 0:
+                return NamedSharding(mesh, P("model", None))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
 
 
 def zero1_shardings(mesh: Mesh, tree):

@@ -83,13 +83,20 @@ def run_train(cfg: RootCfg) -> None:
 
     # strategy: "data_parallel" (DDP equivalent), "data_parallel_zero1"
     # (+ optimizer-state sharding over the data axis), "data_parallel_fsdp"
-    # (+ parameter/EMA sharding, ZeRO-3 pattern), anything else = single
+    # (+ parameter/EMA sharding, ZeRO-3 pattern), "data_model"
+    # (+ tensor-parallel joint cross-view attention over a model axis of
+    # trainer.num_model devices, parallel/tp.py), anything else = single
     # device.
     dp_strategies = (
-        "data_parallel", "data_parallel_zero1", "data_parallel_fsdp"
+        "data_parallel", "data_parallel_zero1", "data_parallel_fsdp",
+        "data_model",
     )
     use_mesh = cfg.trainer.strategy in dp_strategies and jax.device_count() > 1
-    mesh = make_mesh() if use_mesh else None
+    use_model_axis = use_mesh and cfg.trainer.strategy == "data_model"
+    mesh = (
+        make_mesh(num_model=cfg.trainer.num_model if use_model_axis else 1)
+        if use_mesh else None
+    )
     use_fsdp = use_mesh and cfg.trainer.strategy == "data_parallel_fsdp"
     use_zero1 = use_fsdp or (
         use_mesh and cfg.trainer.strategy == "data_parallel_zero1"
@@ -121,7 +128,10 @@ def run_train(cfg: RootCfg) -> None:
         task_steps=cfg.trainer.task_steps,
         shard_optimizer_states=use_zero1,
         shard_params=use_fsdp,
-        example_params=unet_params if use_zero1 else None,
+        shard_model_axis=use_model_axis,
+        example_params=(
+            unet_params if (use_zero1 or use_model_axis) else None
+        ),
     )
     state = trainer.init_state(unet_params)
     state = trainer.maybe_restore(state)

@@ -64,6 +64,7 @@ def make_train_step(
     donate: bool = True,
     shard_optimizer_states: bool = False,
     shard_params: bool = False,
+    shard_model_axis: bool = False,
     example_params: Any = None,
 ) -> Callable:
     """Build the jitted train step. With a mesh, the batch is sharded over
@@ -71,8 +72,11 @@ def make_train_step(
     all-reduce. ``shard_optimizer_states`` additionally distributes the
     optimizer moments over the data axis (ZeRO-1); ``shard_params`` also
     shards parameters/EMA (FSDP/ZeRO-3 — XLA derives the all-gather /
-    reduce-scatter pattern from the shardings). Pass ``example_params``
-    (or abstract shapes) so the sharding trees can be derived."""
+    reduce-scatter pattern from the shardings). ``shard_model_axis``
+    tensor-parallelizes the joint cross-view attention over the mesh's
+    ``model`` axis (Megatron param shardings + head-sharded attention, see
+    ``parallel/tp.py``). Pass ``example_params`` (or abstract shapes) so
+    the sharding trees can be derived."""
 
     def train_step(state: TrainState, batch: Batch, rng):
         def loss_fn(params):
@@ -133,6 +137,17 @@ def make_train_step(
 
         param_sharding = fsdp_shardings(mesh, example_params)
 
+    if shard_model_axis:
+        assert example_params is not None, (
+            "shard_model_axis requires example_params"
+        )
+        from ..parallel.mesh import tensor_parallel_shardings
+
+        param_sharding = tensor_parallel_shardings(mesh, example_params)
+        opt_sharding = tensor_parallel_shardings(
+            mesh, jax.eval_shape(tx.init, example_params)
+        )
+
     def state_shardings(ema: bool) -> TrainState:
         return TrainState(
             params=param_sharding,
@@ -148,6 +163,12 @@ def make_train_step(
     def dispatch(state: TrainState, batch: Batch, rng):
         key = state.ema_params is not None
         if key not in jitted:
+            # Publish (or clear) the TP mesh so THIS step's trace of the
+            # joint cross-view attention picks the intended sharding —
+            # trace-time context, read in models/mv_attention.py.
+            from ..parallel.tp import set_model_mesh
+
+            set_model_mesh(mesh if shard_model_axis else None)
             sh = state_shardings(key)
             jitted[key] = jax.jit(
                 train_step,
@@ -184,6 +205,7 @@ class Trainer:
         task_steps: Optional[int] = None,
         shard_optimizer_states: bool = False,
         shard_params: bool = False,
+        shard_model_axis: bool = False,
         example_params: Any = None,
     ):
         self.engine = engine
@@ -208,6 +230,7 @@ class Trainer:
             engine, tx, vae_params, num_context_views, mesh=mesh,
             shard_optimizer_states=shard_optimizer_states,
             shard_params=shard_params,
+            shard_model_axis=shard_model_axis,
             example_params=example_params,
         )
 

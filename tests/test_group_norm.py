@@ -67,6 +67,7 @@ class TestFusedGroupNorm:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                    atol=1e-6, rtol=1e-6)
 
+    @pytest.mark.slow  # the op is off the live path (model uses XLA's GN)
     @pytest.mark.parametrize("act", [None, "silu"])
     def test_gradients_match_flax_autodiff(self, act):
         x = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 6, 24))
