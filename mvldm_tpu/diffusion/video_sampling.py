@@ -252,6 +252,21 @@ class VideoSampler:
 
     # ------------------------------------------------------------- anchored
 
+    # A dispatched-but-ungathered scene: (device launch output, [(row,
+    # frame_index)]) pairs. Produced by dispatch_*, consumed by gather().
+    Pending = List[Tuple[jax.Array, List[Tuple[int, int]]]]
+
+    @staticmethod
+    def gather(pending: "VideoSampler.Pending") -> Dict[int, np.ndarray]:
+        """Materialize a dispatched scene: one host transfer per launch
+        output (later launches keep computing while earlier ones copy)."""
+        results: Dict[int, np.ndarray] = {}
+        for out, rows in pending:
+            host = np.asarray(out)
+            for row, frame_index in rows:
+                results[frame_index] = host[row]
+        return results
+
     def sample_anchored(
         self,
         context: SceneViews,
@@ -259,8 +274,22 @@ class VideoSampler:
         rng: jax.Array,
         limit_frames: Optional[int] = None,
     ) -> Dict[int, np.ndarray]:
-        """Returns {frame_index: image}. Context is reduced to its first view
-        (reference ``:676-677``)."""
+        return self.gather(
+            self.dispatch_anchored(context, target, rng, limit_frames)
+        )
+
+    def dispatch_anchored(
+        self,
+        context: SceneViews,
+        target: SceneViews,
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+    ) -> "VideoSampler.Pending":
+        """Dispatch a whole scene asynchronously (zero host syncs) and
+        return the pending handle; ``gather`` turns it into
+        {frame_index: image}. Callers can dispatch scene N+1 before
+        gathering scene N to overlap host-side export with device compute.
+        Context is reduced to its first view (reference ``:676-677``)."""
         if limit_frames is not None:
             target = self._take(target, np.arange(min(limit_frames, len(target.index))))
         context = self._take(context, [0])
@@ -427,16 +456,7 @@ class VideoSampler:
                     for i, p in enumerate(group)
                 )
             pending.append((out.reshape(-1, *out.shape[2:]), rows))
-
-        # Single end-of-scene gather: one host transfer per launch output,
-        # overlapped with the still-running later launches by JAX's async
-        # dispatch.
-        results: Dict[int, np.ndarray] = {}
-        for out, rows in pending:
-            images = np.asarray(out)
-            for row, frame_index in rows:
-                results[frame_index] = images[row]
-        return results
+        return pending
 
     # ------------------------------------------------------- autoregressive
 
@@ -447,6 +467,17 @@ class VideoSampler:
         rng: jax.Array,
         limit_frames: Optional[int] = None,
     ) -> Dict[int, np.ndarray]:
+        return self.gather(
+            self.dispatch_autoregressive(context, target, rng, limit_frames)
+        )
+
+    def dispatch_autoregressive(
+        self,
+        context: SceneViews,
+        target: SceneViews,
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+    ) -> "VideoSampler.Pending":
         if limit_frames is not None:
             target = self._take(target, np.arange(min(limit_frames, len(target.index))))
         context = self._take(context, [0])
@@ -496,10 +527,4 @@ class VideoSampler:
             last_pos = end - 1
             last_image = images[real - 1]
             start = end
-
-        results: Dict[int, np.ndarray] = {}
-        for out, rows in pending:
-            host = np.asarray(out)
-            for row, frame_index in rows:
-                results[frame_index] = host[row]
-        return results
+        return pending

@@ -304,6 +304,25 @@ def run_test(cfg: RootCfg) -> None:
     mode = cfg.test.sampling_mode or "anchored"
 
     limit = cfg.trainer.limit_test_batches
+    dispatch = (
+        sampler.dispatch_anchored
+        if mode == "anchored"
+        else sampler.dispatch_autoregressive
+    )
+
+    def export(scene_dir: Path, ctx, pending) -> None:
+        results = sampler.gather(pending)
+        for index, image in results.items():
+            save_image(image, scene_dir / "color" / f"{index:0>6}.png")
+        for i, index in enumerate(ctx.index.tolist()):
+            save_image(
+                ctx.images[i], scene_dir / "context" / f"{index:0>6}.png"
+            )
+
+    # One-scene-deep pipeline: dispatch scene N (async device work), then
+    # gather + PNG-export scene N-1 while N computes. The reference
+    # processes scenes strictly sequentially (test_step -> save loops).
+    in_flight = None
     for n, batch_np in enumerate(dm.test_dataloader()):
         if limit is not None and n >= limit:
             break
@@ -318,18 +337,15 @@ def run_test(cfg: RootCfg) -> None:
             f"scene = {scene}; context = {ctx.index.tolist()}; "
             f"targets = {len(tgt.index)}"
         )
-        fn = (
-            sampler.sample_anchored
-            if mode == "anchored"
-            else sampler.sample_autoregressive
+        pending = dispatch(
+            ctx, tgt, jax.random.fold_in(rng, n),
+            limit_frames=cfg.test.limit_frames,
         )
-        results = fn(
-            ctx, tgt, jax.random.fold_in(rng, n), limit_frames=cfg.test.limit_frames
-        )
-        for index, image in results.items():
-            save_image(image, scene_dir / "color" / f"{index:0>6}.png")
-        for i, index in enumerate(ctx.index.tolist()):
-            save_image(ctx.images[i], scene_dir / "context" / f"{index:0>6}.png")
+        if in_flight is not None:
+            export(*in_flight)
+        in_flight = (scene_dir, ctx, pending)
+    if in_flight is not None:
+        export(*in_flight)
 
     # Export GIF/MP4 per scene (reference on_test_end:1069-1088).
     for scene_dir in sorted(output_dir.iterdir()):

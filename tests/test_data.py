@@ -175,6 +175,28 @@ class TestDataModule:
         assert batch["target"]["image"].shape == (2, 3, 256, 256, 3)
         assert len(batch["scene"]) == 2
 
+    def test_train_decode_pool_covers_all_scenes(self, data_root):
+        """The num_workers decode thread pool yields well-formed batches
+        drawing from every scene (independent per-worker streams, like the
+        reference's 16 worker processes)."""
+        dm = DataModule(
+            DatasetRE10kCfg(root=data_root),
+            bounded_cfg(),
+            DataLoaderCfg(
+                train=DataLoaderStageCfg(
+                    batch_size=2, seed=0, num_workers=4
+                )
+            ),
+        )
+        it = dm.train_dataloader()
+        scenes = set()
+        for _ in range(8):
+            batch = next(it)
+            assert batch["context"]["image"].shape == (2, 2, 256, 256, 3)
+            assert batch["target"]["image"].shape == (2, 3, 256, 256, 3)
+            scenes.update(batch["scene"])
+        assert len(scenes) == 2  # both synthetic scenes appear
+
 
 class TestDatasetDispatch:
     def test_config_driven_re10k_non_iter(self, data_root):

@@ -67,6 +67,32 @@ def joint_block(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads,
     return x + (jnp.dot(out, wo) + bo).astype(dtype)
 
 
+def joint_block_qkv_concat(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
+                           num_heads, head_dim):
+    """Variant: one (C, 3C) projection matmul (wider N uses the MXU better
+    than three narrow-N=C dots); weight concat is loop-invariant and
+    hoisted by XLA."""
+    from mvldm_tpu.ops.attention import attention
+
+    b, l, c = x.shape
+    dtype = x.dtype
+    h32 = x.astype(jnp.float32)
+    mu = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.var(h32, axis=-1, keepdims=True)
+    h = ((h32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias).astype(
+        dtype
+    )
+    inner = num_heads * head_dim
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)  # (C, 3*inner)
+    qkv = jnp.dot(h, wqkv).reshape(b, l, 3, num_heads, head_dim)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    out = attention(q, k, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
+    return x + (jnp.dot(out, wo) + bo).astype(dtype)
+
+
 def flash_only(q, k, v):
     from mvldm_tpu.ops.attention import attention
 
@@ -99,3 +125,10 @@ if __name__ == "__main__":
     print(f"flash only:                      {t_flash*1e3:.3f} ms")
     print(f"glue: {(t_block-t_flash)*1e3:.3f} ms "
           f"({(t_block-t_flash)/t_block:.1%} of the sub-block)")
+
+    t_cat = timeit(
+        functools.partial(joint_block_qkv_concat, num_heads=H, head_dim=D),
+        x, lns, lnb, wq, wk, wv, wo, bo,
+    )
+    print(f"qkv-concat variant:              {t_cat*1e3:.3f} ms "
+          f"(delta {(t_block-t_cat)*1e3:+.3f} ms)")
