@@ -200,6 +200,58 @@ def bench_train() -> None:
     print(json.dumps(record))
 
 
+def bench_scene_batch(n_scenes: int, mode: str = "anchored") -> None:
+    """``python bench.py --scene-batch N [--autoregressive]``: steady-state
+    sampling throughput with N scenes stacked per dispatch
+    (``VideoSampler.dispatch_*_many``) and the batch N+1 dispatched before
+    batch N is gathered — the ``mode=test test.scene_batch=N`` production
+    pipeline. Scene batching fills the batch-1 launches (anchor phase /
+    every autoregressive window) that dominate dead time at S=1; the
+    anchored fill-phase chunk cap scales down so per-launch rows stay
+    bounded."""
+    from mvldm_tpu.diffusion.video_sampling import VideoSampler
+
+    engine, unet_params, vae_params = build_flagship()
+    sampler = VideoSampler(engine, unet_params, vae_params, num_anchors_views=4)
+    scenes = [make_scene(NUM_FRAMES) for _ in range(n_scenes)]
+    dispatch = (
+        sampler.dispatch_anchored_many
+        if mode == "anchored"
+        else sampler.dispatch_autoregressive_many
+    )
+
+    # Warm-up compiles every shape bucket at this scene count.
+    VideoSampler.gather_many(
+        dispatch(scenes, jax.random.PRNGKey(1)), n_scenes
+    )
+
+    n_batches = 3
+    t0 = time.perf_counter()
+    pending = None
+    for i in range(n_batches):
+        nxt = dispatch(scenes, jax.random.PRNGKey(2 + i))
+        if pending is not None:
+            VideoSampler.gather_many(pending, n_scenes)
+        pending = nxt
+    VideoSampler.gather_many(pending, n_scenes)
+    dt = (time.perf_counter() - t0) / n_batches
+
+    fps = n_scenes * NUM_FRAMES / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{mode}_sampling_frames_per_sec_per_chip",
+                "value": round(fps, 4),
+                "unit": (
+                    f"frames/s ({n_scenes}x80-frame scenes per dispatch, "
+                    "25-step DDIM, CFG 3.0, bf16)"
+                ),
+                "vs_baseline": round(fps / A100_REFERENCE_FPS, 4),
+            }
+        )
+    )
+
+
 def main(mode: str = "anchored") -> None:
     from mvldm_tpu.diffusion.video_sampling import VideoSampler
 
@@ -243,6 +295,15 @@ if __name__ == "__main__":
 
     if "--train" in sys.argv[1:]:
         bench_train()
+    elif "--scene-batch" in sys.argv[1:]:
+        bench_scene_batch(
+            int(sys.argv[sys.argv.index("--scene-batch") + 1]),
+            mode=(
+                "autoregressive"
+                if "--autoregressive" in sys.argv[1:]
+                else "anchored"
+            ),
+        )
     elif "--autoregressive" in sys.argv[1:]:
         main(mode="autoregressive")
     else:

@@ -81,6 +81,12 @@ class TestCfg:
     limit_frames: Optional[int] = None
     sampling_mode: Optional[Literal["anchored", "autoregressive"]] = None
     num_anchors_views: int = 4
+    # Scenes batched per video-sampling dispatch (beyond reference; both
+    # anchored and autoregressive modes): stacked along the launch batch
+    # axis and, when it divides the local device count, sharded
+    # scene-per-chip over a data mesh — multi-chip evaluation scaling with
+    # zero cross-device communication.
+    scene_batch: int = 1
 
 
 @dataclass

@@ -87,30 +87,44 @@ class VideoSampler:
 
         self._sample = jax.jit(sample_u8, static_argnames=("num_target_views",))
 
-        # Fill-phase variant with a deduplicated context-frame table: the
-        # anchored fill groups condition on only 1 + num_anchors distinct
-        # frames, yet a naive per-group stack re-uploads (and re-VAE-encodes)
-        # ~2 frames x ~27 groups per scene. Here the unique frames upload
-        # and encode ONCE; each group gathers its (ctx0, anchor) latents by
-        # index. Documented deviation from per-call encoding: a unique
-        # frame's VAE posterior is sampled once per scene instead of once
-        # per group — same per-frame marginal, shared across the groups that
-        # condition on it.
-        def sample_u8_indexed(unet_params, vae_params, table_u8, ctx_idx,
-                              extrinsics, intrinsics, num_target_views, rng):
+        # Fill-phase sampler with deduplicated per-scene context-frame
+        # tables: the anchored fill groups condition on only 1 + num_anchors
+        # distinct frames, yet a naive per-group stack would re-upload (and
+        # re-VAE-encode) ~2 frames x ~27 groups per scene. Here the unique
+        # frames upload and encode ONCE; each group gathers its (ctx0,
+        # anchor) latents by index. Documented deviation from per-call
+        # encoding: a unique frame's VAE posterior is sampled once per scene
+        # instead of once per group — same per-frame marginal, shared across
+        # the groups that condition on it.
+        #
+        # The leading axis batches SCENES (``dispatch_anchored_many``), each
+        # scene with its own table. Flattening (S, g) -> S*g rows keeps the
+        # per-scene blocks contiguous, so sharding the scene axis over the
+        # mesh's ``data`` axis maps whole scenes onto chips with zero
+        # cross-device communication.
+        def sample_u8_indexed_scenes(unet_params, vae_params, tables_u8,
+                                     ctx_idx, extrinsics, intrinsics,
+                                     num_target_views, rng):
             k_enc, k_noise = jax.random.split(rng)
-            table = table_u8.astype(jnp.float32)[None] / 255.0  # (1, U, h, w, 3)
-            table_latents = engine.encode_images(vae_params, table, k_enc)[0]
-            ctx_latents = table_latents[ctx_idx]  # (g, v_c, hl, wl, 4)
+            s, u = tables_u8.shape[:2]
+            g, v_c = ctx_idx.shape[1:3]
+            tables = tables_u8.astype(jnp.float32) / 255.0  # (S, U, h, w, 3)
+            table_latents = engine.encode_images(vae_params, tables, k_enc)
+            ctx_latents = jax.vmap(lambda tab, idx: tab[idx])(
+                table_latents, ctx_idx
+            )  # (S, g, v_c, hl, wl, 4)
+            flat = ctx_latents.reshape(s * g, v_c, *ctx_latents.shape[3:])
             latents = engine.sample_latents(
-                unet_params, ctx_latents, extrinsics, intrinsics,
+                unet_params, flat,
+                extrinsics.reshape(s * g, *extrinsics.shape[2:]),
+                intrinsics.reshape(s * g, *intrinsics.shape[2:]),
                 num_target_views=num_target_views, rng=k_noise,
             )
             out = engine.decode_latents(vae_params, latents)
             return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-        self._sample_indexed = jax.jit(
-            sample_u8_indexed, static_argnames=("num_target_views",)
+        self._sample_indexed_scenes = jax.jit(
+            sample_u8_indexed_scenes, static_argnames=("num_target_views",)
         )
 
     @staticmethod
@@ -157,45 +171,6 @@ class VideoSampler:
             rng=rng,
         )
         return out[0]
-
-    def _run_batched_indexed(
-        self,
-        table_u8: jax.Array,
-        jobs: List[tuple],
-        rel_index: int,
-        rng: jax.Array,
-    ) -> jax.Array:
-        """Run G independent fill samples in one launch, with context frames
-        gathered from the shared on-device frame table. Each job is
-        (ctx_idx pair, ctx SceneViews sans images, padded target views, _).
-        Returns (G, v_t, h, w, 3) uint8 on device."""
-        ctx_idx = np.stack([j[0] for j in jobs])  # (g, v_c)
-        extr = np.stack(
-            [
-                np.concatenate([j[1].extrinsics, j[2].extrinsics], axis=0)
-                for j in jobs
-            ]
-        )
-        intr = np.stack(
-            [
-                np.concatenate([j[1].intrinsics, j[2].intrinsics], axis=0)
-                for j in jobs
-            ]
-        )
-        v_t = jobs[0][2].extrinsics.shape[0]
-        extr = absolute_to_relative_camera(jnp.asarray(extr), rel_index)
-        # Device uint8 output; callers convert after submitting all chunks so
-        # JAX's async dispatch overlaps host-side prep with device compute.
-        return self._sample_indexed(
-            self.unet_params,
-            self.vae_params,
-            table_u8,
-            jnp.asarray(ctx_idx, dtype=jnp.int32),
-            extr,
-            jnp.asarray(intr),
-            num_target_views=v_t,
-            rng=rng,
-        )
 
     @staticmethod
     def _take(views: SceneViews, idx) -> SceneViews:
@@ -255,6 +230,8 @@ class VideoSampler:
     # A dispatched-but-ungathered scene: (device launch output, [(row,
     # frame_index)]) pairs. Produced by dispatch_*, consumed by gather().
     Pending = List[Tuple[jax.Array, List[Tuple[int, int]]]]
+    # Scene-batched variant: rows carry (flat row, scene slot, frame index).
+    ManyPending = List[Tuple[jax.Array, List[Tuple[int, int, int]]]]
 
     @staticmethod
     def gather(pending: "VideoSampler.Pending") -> Dict[int, np.ndarray]:
@@ -262,9 +239,22 @@ class VideoSampler:
         output (later launches keep computing while earlier ones copy)."""
         results: Dict[int, np.ndarray] = {}
         for out, rows in pending:
-            host = np.asarray(out)
+            host = np.asarray(out).reshape(-1, *out.shape[-3:])
             for row, frame_index in rows:
                 results[frame_index] = host[row]
+        return results
+
+    @staticmethod
+    def gather_many(
+        pending: "VideoSampler.ManyPending", n_scenes: int
+    ) -> List[Dict[int, np.ndarray]]:
+        """Materialize a dispatched scene batch into per-scene
+        {frame_index: image} dicts (one host transfer per launch output)."""
+        results: List[Dict[int, np.ndarray]] = [{} for _ in range(n_scenes)]
+        for out, rows in pending:
+            host = np.asarray(out).reshape(-1, *out.shape[-3:])
+            for row, scene, frame_index in rows:
+                results[scene][frame_index] = host[row]
         return results
 
     def sample_anchored(
@@ -290,23 +280,117 @@ class VideoSampler:
         {frame_index: image}. Callers can dispatch scene N+1 before
         gathering scene N to overlap host-side export with device compute.
         Context is reduced to its first view (reference ``:676-677``)."""
-        if limit_frames is not None:
-            target = self._take(target, np.arange(min(limit_frames, len(target.index))))
-        context = self._take(context, [0])
+        many = self.dispatch_anchored_many(
+            [(context, target)], rng, limit_frames=limit_frames
+        )
+        return [
+            (out, [(row, f) for row, _, f in rows]) for out, rows in many
+        ]
 
-        n_t = len(target.index)
+    def sample_anchored_many(
+        self,
+        scenes: List[Tuple[SceneViews, SceneViews]],
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> List[Dict[int, np.ndarray]]:
+        return self.gather_many(
+            self.dispatch_anchored_many(scenes, rng, limit_frames, mesh),
+            len(scenes),
+        )
+
+    def _shard(self, arr, mesh) -> jax.Array:
+        """Upload with the leading (scene) axis sharded over the mesh's
+        ``data`` axis; plain device upload when no mesh is given."""
+        arr = jnp.asarray(arr) if isinstance(arr, np.ndarray) else arr
+        if mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(mesh, P("data")))
+
+    def dispatch_anchored_many(
+        self,
+        scenes: List[Tuple[SceneViews, SceneViews]],
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "VideoSampler.ManyPending":
+        """Dispatch a BATCH of scenes asynchronously, scenes stacked along
+        the batch axis of every launch. TPU-native eval scaling: with a
+        ``mesh``, the scene axis shards over the mesh's ``data`` axis, so S
+        scenes on N chips run as S/N scenes per chip with ZERO cross-device
+        communication (every op in the sampler is batched over scenes; the
+        reference distributes eval only process-per-GPU via Lightning DDP).
+        All scenes must share one target count (the RE10K video protocol's
+        limit_frames=80 guarantees this; callers bucket otherwise).
+        ``gather_many`` turns the handle into per-scene dicts. Single-scene
+        ``dispatch_anchored`` delegates here with S=1 — identical launch
+        shapes (modulo the leading scene axis) and RNG fold structure, so
+        results match the pre-batched implementation bit-for-bit."""
+        s = len(scenes)
+        prep: List[Tuple[SceneViews, SceneViews]] = []
+        for ctx, tgt in scenes:
+            if limit_frames is not None:
+                tgt = self._take(
+                    tgt, np.arange(min(limit_frames, len(tgt.index)))
+                )
+            prep.append((self._take(ctx, [0]), tgt))
+        counts = {len(t.index) for _, t in prep}
+        if len(counts) != 1:
+            raise ValueError(
+                "dispatch_anchored_many requires equal target counts across "
+                f"the scene batch; got {sorted(counts)}"
+            )
+        if mesh is not None and s % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"scene batch {s} does not divide the mesh's data axis "
+                f"({mesh.shape['data']})"
+            )
+        contexts = [c for c, _ in prep]
+        targets = [t for _, t in prep]
+        n_t = counts.pop()
+
         n_anchors = min(self.num_anchors, n_t)
         anchor_step = max(n_t // n_anchors, 1)
         anchor_pos = np.arange(anchor_step, (n_anchors + 1) * anchor_step,
                                anchor_step)[:n_anchors]
         anchor_pos = anchor_pos[anchor_pos < n_t]
 
-        # The whole scene is dispatched WITHOUT host syncs — anchor outputs
+        # Per-scene stacked camera tables (identical anchor/group structure
+        # across scenes — it depends only on n_t).
+        ctx_extr = np.stack([c.extrinsics for c in contexts])  # (S, 1, 4, 4)
+        ctx_intr = np.stack([c.intrinsics for c in contexts])
+        tgt_extr = np.stack([t.extrinsics for t in targets])   # (S, n_t, 4, 4)
+        tgt_intr = np.stack([t.intrinsics for t in targets])
+        ctx0_u8 = self._shard(
+            np.stack([self._to_u8(c.images) for c in contexts]), mesh
+        )  # (S, 1, h, w, 3)
+
+        # The whole batch is dispatched WITHOUT host syncs — anchor outputs
         # stay on device (feeding the chained windows and the fill-phase
-        # context table as device slices) and results materialize in one
-        # gather at the end. pending: (device launch output, [(row, frame
-        # index)]) pairs.
-        pending: List[Tuple[jax.Array, List[Tuple[int, int]]]] = []
+        # context tables as device slices) and results materialize in one
+        # gather at the end.
+        pending: VideoSampler.ManyPending = []
+
+        def pad_cols(idx: np.ndarray, size: int) -> np.ndarray:
+            idx = np.asarray(idx)
+            if len(idx) == size:
+                return idx
+            return np.concatenate([idx, np.repeat(idx[-1:], size - len(idx))])
+
+        def launch(ctx_imgs, c_extr, c_intr, pos_padded, rel_index, v_t, k):
+            """One bucketed (S, v_c) ctx -> (S, v_t) sampling launch; camera
+            stacks assembled from the shared per-scene tables."""
+            extr = np.concatenate([c_extr, tgt_extr[:, pos_padded]], axis=1)
+            intr = np.concatenate([c_intr, tgt_intr[:, pos_padded]], axis=1)
+            extr = absolute_to_relative_camera(
+                self._shard(extr, mesh), rel_index
+            )
+            return self._sample(
+                self.unet_params, self.vae_params, ctx_imgs, extr,
+                self._shard(intr, mesh), num_target_views=v_t, rng=k,
+            )
 
         # Anchor generation. The first window draws up to four anchors from
         # the context alone; when num_anchors_views > 4 the remaining anchors
@@ -322,46 +406,57 @@ class VideoSampler:
         first_n = min(len(anchor_pos), 4)
         first_bucket = min(self.num_anchors, 4)
         rng, k = jax.random.split(rng)
-        first_views = self._take(target, anchor_pos[:first_n])
-        first_padded, real = self._pad_group(first_views, first_bucket)
-        anchor_images = self._run(context, first_padded, rel_index=0, rng=k)[:real]
+        anchors = launch(
+            ctx0_u8, ctx_extr, ctx_intr,
+            pad_cols(anchor_pos[:first_n], first_bucket),
+            rel_index=0, v_t=first_bucket, k=k,
+        )  # (S, first_bucket, h, w, 3) device
         pending.append(
-            (anchor_images,
-             [(i, int(target.index[pos]))
+            (anchors,
+             [(sc * first_bucket + i, sc, int(targets[sc].index[pos]))
+              for sc in range(s)
               for i, pos in enumerate(anchor_pos[:first_n])])
         )
-        # Device rows per anchor rank, feeding the fill-phase context table.
-        anchor_rows: List[jax.Array] = [
-            anchor_images[i] for i in range(first_n)
+        # Device columns per anchor rank, feeding the fill-phase tables.
+        anchor_cols: List[jax.Array] = [
+            anchors[:, i] for i in range(first_n)
         ]
 
+        real = first_n
         last_anchor_pos = int(anchor_pos[first_n - 1])
-        last_anchor_img = anchor_images[real - 1]
+        last_anchor_img = anchors[:, real - 1]  # (S, h, w, 3)
         start = first_n
         while start < len(anchor_pos):
             end = min(start + self.group_size, len(anchor_pos))
-            prev_ctx = SceneViews(
-                images=last_anchor_img[None],
-                extrinsics=target.extrinsics[last_anchor_pos][None],
-                intrinsics=target.intrinsics[last_anchor_pos][None],
-                index=target.index[last_anchor_pos][None],
+            ctx2_u8 = jnp.concatenate(
+                [ctx0_u8, last_anchor_img[:, None]], axis=1
             )
-            ctx2 = self._cat(context, prev_ctx)
-            window = self._take(target, anchor_pos[start:end])
-            padded, real = self._pad_group(window, self.group_size)
+            c2_extr = np.concatenate(
+                [ctx_extr, tgt_extr[:, [last_anchor_pos]]], axis=1
+            )
+            c2_intr = np.concatenate(
+                [ctx_intr, tgt_intr[:, [last_anchor_pos]]], axis=1
+            )
             rng, k = jax.random.split(rng)
             # rel_index=1: poses relative to the previous anchor (reference
             # diffusion_wrapper.py:769). Same (2, 3) shape bucket as the
             # fill phase, so chaining adds no new compilations.
-            imgs = self._run(ctx2, padded, rel_index=1, rng=k)[:real]
+            real = end - start
+            imgs = launch(
+                ctx2_u8, c2_extr, c2_intr,
+                pad_cols(anchor_pos[start:end], self.group_size),
+                rel_index=1, v_t=self.group_size, k=k,
+            )
             pending.append(
                 (imgs,
-                 [(i, int(target.index[pos]))
+                 [(sc * self.group_size + i, sc,
+                   int(targets[sc].index[pos]))
+                  for sc in range(s)
                   for i, pos in enumerate(anchor_pos[start:end])])
             )
-            anchor_rows.extend(imgs[i] for i in range(end - start))
+            anchor_cols.extend(imgs[:, i] for i in range(real))
             last_anchor_pos = int(anchor_pos[end - 1])
-            last_anchor_img = imgs[real - 1]
+            last_anchor_img = imgs[:, real - 1]
             start = end
 
         # Assign remaining frames to the nearest anchor, in groups.
@@ -390,75 +485,229 @@ class VideoSampler:
 
         # Collect all fill jobs, then run them batched (groups are mutually
         # independent given the anchors). Context frames go into ONE shared
-        # device table — ctx0 + the anchors, padded to a fixed 1+num_anchors
-        # size so the compiled shape is stable — and each job references its
-        # (ctx0, anchor) pair by index (see ``sample_u8_indexed``). The
-        # anchor rows are DEVICE slices of the anchor launches, so the fill
-        # phase chains onto them in the device queue with no host sync.
+        # per-scene device table — ctx0 + the anchors, padded to a fixed
+        # 1+num_anchors size so the compiled shape is stable — and each job
+        # references its (ctx0, anchor) pair by index (see
+        # ``sample_u8_indexed_scenes``). The anchor columns are DEVICE slices
+        # of the anchor launches, so the fill phase chains onto them in the
+        # device queue with no host sync.
         anchor_rank = {int(a): r for r, a in enumerate(anchor_pos)}
-        table = [jnp.asarray(self._to_u8(context.images[0]))] + anchor_rows
-        while len(table) < 1 + self.num_anchors:
-            table.append(table[-1])
-        table_u8 = jnp.stack(table)
+        table_cols = [ctx0_u8[:, 0]] + anchor_cols
+        while len(table_cols) < 1 + self.num_anchors:
+            table_cols.append(table_cols[-1])
+        tables_u8 = jnp.stack(table_cols, axis=1)  # (S, U, h, w, 3)
 
-        jobs = []  # (ctx_idx, ctx cameras, padded group views, group)
+        jobs = []  # (ctx_idx (2,), anchor target-position, padded positions, group)
         for a_pos, groups in groups_by_anchor.items():
             if not groups:
                 continue
-            ctx_cams = SceneViews(
-                images=None,
-                extrinsics=np.stack(
-                    [context.extrinsics[0], target.extrinsics[a_pos]]
-                ),
-                intrinsics=np.stack(
-                    [context.intrinsics[0], target.intrinsics[a_pos]]
-                ),
-                index=np.stack([context.index[0], target.index[a_pos]]),
-            )
             ctx_idx = np.asarray([0, 1 + anchor_rank[int(a_pos)]], np.int32)
             for group in groups:
-                gviews, _ = self._pad_group(
-                    self._take(target, group), self.group_size
+                jobs.append(
+                    (ctx_idx, a_pos,
+                     pad_cols(np.asarray(group), self.group_size), group)
                 )
-                jobs.append((ctx_idx, ctx_cams, gviews, group))
 
-        # Greedy power-of-two chunking: at most log2(max_parallel_groups)+1
-        # distinct batch shapes ever compile, with near-zero padding waste
-        # (the standard 80-frame scene's 27 groups run as 16 + 8 + 2 + 1).
-        # Measured alternative (rejected): one exact-size launch of all 27
-        # groups was ~0.9 f/s SLOWER — per-frame cost at b=27 is no better
-        # than b=16 and the single launch loses the chunk-level overlap of
-        # host prep / result transfers with device compute.
+        # Greedy power-of-two chunking: at most log2(cap)+1 distinct batch
+        # shapes ever compile, with near-zero padding waste (the standard
+        # 80-frame scene's 27 groups run as 16 + 8 + 2 + 1 at S=1). The cap
+        # scales with the per-device scene count so per-chip batch stays at
+        # max_parallel_groups rows regardless of how many scenes batch
+        # together. Measured alternative (rejected): one exact-size launch
+        # of all 27 groups was ~0.9 f/s SLOWER — per-frame cost at b=27 is
+        # no better than b=16 and the single launch loses the chunk-level
+        # overlap of host prep / result transfers with device compute.
+        n_shards = mesh.shape["data"] if mesh is not None else 1
+        cap = max(1, (self.max_parallel_groups * n_shards) // s)
+        cap = 1 << (cap.bit_length() - 1)  # floor to a power of two
         buckets = []
-        size = self.max_parallel_groups
+        size = cap
         while size >= 1:
             buckets.append(size)
             size //= 2
+        v_fill = self.group_size
         start = 0
         while start < len(jobs):
-            remaining = len(jobs) - start
-            bucket = next(b for b in buckets if b <= remaining or b == 1)
-            chunk = jobs[start : start + min(bucket, remaining)]
+            left = len(jobs) - start
+            bucket = next(b for b in buckets if b <= left or b == 1)
+            chunk = jobs[start : start + min(bucket, left)]
             start += len(chunk)
             real_chunk = len(chunk)
             while len(chunk) < bucket:
                 chunk.append(chunk[-1])
-            rng, k = jax.random.split(rng)
+            # (S, g, v) camera stacks: every scene runs the same group
+            # structure over its own cameras.
+            ctx_idx = np.broadcast_to(
+                np.stack([j[0] for j in chunk]), (s, bucket, 2)
+            ).copy()
+            extr = np.stack(
+                [
+                    np.concatenate(
+                        [ctx_extr[:, 0:1], tgt_extr[:, [j[1]]],
+                         tgt_extr[:, j[2]]], axis=1
+                    )
+                    for j in chunk
+                ],
+                axis=1,
+            )  # (S, g, 2+group_size, 4, 4)
+            intr = np.stack(
+                [
+                    np.concatenate(
+                        [ctx_intr[:, 0:1], tgt_intr[:, [j[1]]],
+                         tgt_intr[:, j[2]]], axis=1
+                    )
+                    for j in chunk
+                ],
+                axis=1,
+            )
             # rel_index=1: poses relative to the anchor (reference :881).
+            extr = absolute_to_relative_camera(self._shard(extr, mesh), 1)
+            rng, k = jax.random.split(rng)
             # Submit without syncing; gather after all chunks are in flight.
-            out = self._run_batched_indexed(table_u8, chunk, 1, k)
+            out = self._sample_indexed_scenes(
+                self.unet_params, self.vae_params, tables_u8,
+                self._shard(jnp.asarray(ctx_idx, dtype=jnp.int32), mesh),
+                extr, self._shard(intr, mesh),
+                num_target_views=v_fill, rng=k,
+            )  # (S * g, v_t, h, w, 3)
             rows = []
-            for g, (ctx_idx, ctx_cams, gviews, group) in enumerate(
-                chunk[:real_chunk]
-            ):
-                rows.extend(
-                    (g * out.shape[1] + i, int(target.index[p]))
-                    for i, p in enumerate(group)
-                )
-            pending.append((out.reshape(-1, *out.shape[2:]), rows))
+            for sc in range(s):
+                for g, (ctx_idx_j, a_pos, padded, group) in enumerate(
+                    chunk[:real_chunk]
+                ):
+                    rows.extend(
+                        ((sc * bucket + g) * v_fill + i, sc,
+                         int(targets[sc].index[p]))
+                        for i, p in enumerate(group)
+                    )
+            pending.append((out, rows))
         return pending
 
     # ------------------------------------------------------- autoregressive
+
+    def sample_autoregressive_many(
+        self,
+        scenes: List[Tuple[SceneViews, SceneViews]],
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> List[Dict[int, np.ndarray]]:
+        return self.gather_many(
+            self.dispatch_autoregressive_many(scenes, rng, limit_frames, mesh),
+            len(scenes),
+        )
+
+    def dispatch_autoregressive_many(
+        self,
+        scenes: List[Tuple[SceneViews, SceneViews]],
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "VideoSampler.ManyPending":
+        """Scene-batched autoregressive sampling: S scenes advance their
+        sliding windows in lockstep, stacked along the batch axis of every
+        launch (and sharded scene-per-chip over a mesh's ``data`` axis when
+        given). The single-scene path runs every window at batch 1 — the
+        most underutilized launches in the framework — so batching scenes
+        is the dominant throughput lever for this mode. Same async
+        device-chaining as the single-scene path: window N's context is a
+        device slice of window N-1's output, one gather at the end."""
+        s = len(scenes)
+        prep: List[Tuple[SceneViews, SceneViews]] = []
+        for ctx, tgt in scenes:
+            if limit_frames is not None:
+                tgt = self._take(
+                    tgt, np.arange(min(limit_frames, len(tgt.index)))
+                )
+            prep.append((self._take(ctx, [0]), tgt))
+        counts = {len(t.index) for _, t in prep}
+        if len(counts) != 1:
+            raise ValueError(
+                "dispatch_autoregressive_many requires equal target counts "
+                f"across the scene batch; got {sorted(counts)}"
+            )
+        if mesh is not None and s % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"scene batch {s} does not divide the mesh's data axis "
+                f"({mesh.shape['data']})"
+            )
+        contexts = [c for c, _ in prep]
+        targets = [t for _, t in prep]
+        n_t = counts.pop()
+        n_initial = min(self.num_anchors, n_t)
+
+        ctx_extr = np.stack([c.extrinsics for c in contexts])  # (S, 1, 4, 4)
+        ctx_intr = np.stack([c.intrinsics for c in contexts])
+        tgt_extr = np.stack([t.extrinsics for t in targets])   # (S, n_t, 4, 4)
+        tgt_intr = np.stack([t.intrinsics for t in targets])
+        ctx0_u8 = self._shard(
+            np.stack([self._to_u8(c.images) for c in contexts]), mesh
+        )  # (S, 1, h, w, 3)
+
+        def pad_cols(idx: np.ndarray, size: int) -> np.ndarray:
+            idx = np.asarray(idx)
+            if len(idx) == size:
+                return idx
+            return np.concatenate([idx, np.repeat(idx[-1:], size - len(idx))])
+
+        def launch(ctx_imgs, c_extr, c_intr, pos_padded, rel_index, v_t, k):
+            extr = np.concatenate([c_extr, tgt_extr[:, pos_padded]], axis=1)
+            intr = np.concatenate([c_intr, tgt_intr[:, pos_padded]], axis=1)
+            extr = absolute_to_relative_camera(
+                self._shard(extr, mesh), rel_index
+            )
+            return self._sample(
+                self.unet_params, self.vae_params, ctx_imgs, extr,
+                self._shard(intr, mesh), num_target_views=v_t, rng=k,
+            )
+
+        pending: VideoSampler.ManyPending = []
+        rng, k = jax.random.split(rng)
+        real = n_initial
+        images = launch(
+            ctx0_u8, ctx_extr, ctx_intr,
+            pad_cols(np.arange(n_initial), self.num_anchors),
+            rel_index=0, v_t=self.num_anchors, k=k,
+        )  # (S, num_anchors, h, w, 3)
+        pending.append(
+            (images,
+             [(sc * self.num_anchors + i, sc, int(targets[sc].index[i]))
+              for sc in range(s)
+              for i in range(real)])
+        )
+
+        last_pos = n_initial - 1
+        last_image = images[:, real - 1]  # (S, h, w, 3)
+        start = n_initial
+        while start < n_t:
+            end = min(start + self.group_size, n_t)
+            rng, k = jax.random.split(rng)
+            ctx2_u8 = jnp.concatenate(
+                [ctx0_u8, last_image[:, None]], axis=1
+            )
+            c2_extr = np.concatenate(
+                [ctx_extr, tgt_extr[:, [last_pos]]], axis=1
+            )
+            c2_intr = np.concatenate(
+                [ctx_intr, tgt_intr[:, [last_pos]]], axis=1
+            )
+            real = end - start
+            images = launch(
+                ctx2_u8, c2_extr, c2_intr,
+                pad_cols(np.arange(start, end), self.group_size),
+                rel_index=1, v_t=self.group_size, k=k,
+            )
+            pending.append(
+                (images,
+                 [(sc * self.group_size + i, sc,
+                   int(targets[sc].index[p]))
+                  for sc in range(s)
+                  for i, p in enumerate(range(start, end))])
+            )
+            last_pos = end - 1
+            last_image = images[:, real - 1]
+            start = end
+        return pending
 
     def sample_autoregressive(
         self,

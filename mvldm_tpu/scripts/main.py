@@ -284,6 +284,90 @@ def _load_eval_params(cfg: RootCfg, engine, rng):
     return unet_params, vae_params
 
 
+def _run_test_scene_batched(
+    cfg: RootCfg, sampler, dm, output_dir: Path, rng, scene_batch: int, limit,
+    mode: str,
+) -> None:
+    """Video sampling with ``cfg.test.scene_batch`` scenes stacked per
+    dispatch and — when the batch divides the local device count — the scene
+    axis sharded chip-per-scene over a data mesh
+    (``VideoSampler.dispatch_anchored_many`` / ``_autoregressive_many``).
+    Multi-chip evaluation scaling with zero cross-device communication; no
+    reference counterpart (the reference distributes eval only
+    process-per-GPU via Lightning DDP). Scenes bucket by target count so
+    every dispatch is shape-uniform; ragged final buckets pad by repeating
+    the last scene (padded rows dropped at export)."""
+    n_dev = jax.local_device_count()
+    mesh = (
+        make_mesh(num_data=n_dev, devices=jax.local_devices())
+        if n_dev > 1 and scene_batch % n_dev == 0
+        else None
+    )
+    if mesh is not None:
+        print(f"scene_batch={scene_batch} sharded over {n_dev} devices")
+
+    def export_batch(entries, pending) -> None:
+        results = VideoSampler.gather_many(pending, scene_batch)
+        for (scene_dir, ctx), frames in zip(entries, results):
+            for index, image in frames.items():
+                save_image(image, scene_dir / "color" / f"{index:0>6}.png")
+            for i, index in enumerate(ctx.index.tolist()):
+                save_image(
+                    ctx.images[i], scene_dir / "context" / f"{index:0>6}.png"
+                )
+
+    buckets: dict = {}  # target count -> [(scene_dir, ctx, tgt)]
+    in_flight = None
+    fold = 0
+
+    dispatch_many = (
+        sampler.dispatch_anchored_many
+        if mode == "anchored"
+        else sampler.dispatch_autoregressive_many
+    )
+
+    def flush(bucket) -> None:
+        nonlocal in_flight, fold
+        padded = bucket + [bucket[-1]] * (scene_batch - len(bucket))
+        pending = dispatch_many(
+            [(c, t) for _, c, t in padded],
+            jax.random.fold_in(rng, fold),
+            limit_frames=cfg.test.limit_frames,
+            mesh=mesh,
+        )
+        fold += 1
+        # One-batch-deep pipeline: PNG-export batch N-1 while N computes.
+        if in_flight is not None:
+            export_batch(*in_flight)
+        in_flight = ([(sd, c) for sd, c, _ in bucket], pending)
+
+    for n, batch_np in enumerate(dm.test_dataloader()):
+        if limit is not None and n >= limit:
+            break
+        scene = batch_np["scene"][0]
+        scene_dir = output_dir / scene
+        if (scene_dir / "color").exists():
+            print(f"Skipping {scene} (already sampled)")
+            continue
+        ctx = scene_views_from_batch(batch_np, "context")
+        tgt = scene_views_from_batch(batch_np, "target")
+        n_t = len(tgt.index)
+        if cfg.test.limit_frames is not None:
+            n_t = min(n_t, cfg.test.limit_frames)
+        print(
+            f"scene = {scene}; context = {ctx.index.tolist()}; "
+            f"targets = {n_t} (scene batch)"
+        )
+        buckets.setdefault(n_t, []).append((scene_dir, ctx, tgt))
+        if len(buckets[n_t]) == scene_batch:
+            flush(buckets.pop(n_t))
+    for bucket in buckets.values():
+        if bucket:
+            flush(bucket)
+    if in_flight is not None:
+        export_batch(*in_flight)
+
+
 def run_test(cfg: RootCfg) -> None:
     """Video sampling over the test set (reference ``test_step`` +
     ``on_test_end``)."""
@@ -304,48 +388,54 @@ def run_test(cfg: RootCfg) -> None:
     mode = cfg.test.sampling_mode or "anchored"
 
     limit = cfg.trainer.limit_test_batches
-    dispatch = (
-        sampler.dispatch_anchored
-        if mode == "anchored"
-        else sampler.dispatch_autoregressive
-    )
+    scene_batch = max(1, cfg.test.scene_batch)
+    if scene_batch > 1:
+        _run_test_scene_batched(
+            cfg, sampler, dm, output_dir, rng, scene_batch, limit, mode
+        )
+    else:
+        dispatch = (
+            sampler.dispatch_anchored
+            if mode == "anchored"
+            else sampler.dispatch_autoregressive
+        )
 
-    def export(scene_dir: Path, ctx, pending) -> None:
-        results = sampler.gather(pending)
-        for index, image in results.items():
-            save_image(image, scene_dir / "color" / f"{index:0>6}.png")
-        for i, index in enumerate(ctx.index.tolist()):
-            save_image(
-                ctx.images[i], scene_dir / "context" / f"{index:0>6}.png"
+        def export(scene_dir: Path, ctx, pending) -> None:
+            results = sampler.gather(pending)
+            for index, image in results.items():
+                save_image(image, scene_dir / "color" / f"{index:0>6}.png")
+            for i, index in enumerate(ctx.index.tolist()):
+                save_image(
+                    ctx.images[i], scene_dir / "context" / f"{index:0>6}.png"
+                )
+
+        # One-scene-deep pipeline: dispatch scene N (async device work),
+        # then gather + PNG-export scene N-1 while N computes. The reference
+        # processes scenes strictly sequentially (test_step -> save loops).
+        in_flight = None
+        for n, batch_np in enumerate(dm.test_dataloader()):
+            if limit is not None and n >= limit:
+                break
+            scene = batch_np["scene"][0]
+            scene_dir = output_dir / scene
+            if (scene_dir / "color").exists():
+                print(f"Skipping {scene} (already sampled)")
+                continue
+            ctx = scene_views_from_batch(batch_np, "context")
+            tgt = scene_views_from_batch(batch_np, "target")
+            print(
+                f"scene = {scene}; context = {ctx.index.tolist()}; "
+                f"targets = {len(tgt.index)}"
             )
-
-    # One-scene-deep pipeline: dispatch scene N (async device work), then
-    # gather + PNG-export scene N-1 while N computes. The reference
-    # processes scenes strictly sequentially (test_step -> save loops).
-    in_flight = None
-    for n, batch_np in enumerate(dm.test_dataloader()):
-        if limit is not None and n >= limit:
-            break
-        scene = batch_np["scene"][0]
-        scene_dir = output_dir / scene
-        if (scene_dir / "color").exists():
-            print(f"Skipping {scene} (already sampled)")
-            continue
-        ctx = scene_views_from_batch(batch_np, "context")
-        tgt = scene_views_from_batch(batch_np, "target")
-        print(
-            f"scene = {scene}; context = {ctx.index.tolist()}; "
-            f"targets = {len(tgt.index)}"
-        )
-        pending = dispatch(
-            ctx, tgt, jax.random.fold_in(rng, n),
-            limit_frames=cfg.test.limit_frames,
-        )
+            pending = dispatch(
+                ctx, tgt, jax.random.fold_in(rng, n),
+                limit_frames=cfg.test.limit_frames,
+            )
+            if in_flight is not None:
+                export(*in_flight)
+            in_flight = (scene_dir, ctx, pending)
         if in_flight is not None:
             export(*in_flight)
-        in_flight = (scene_dir, ctx, pending)
-    if in_flight is not None:
-        export(*in_flight)
 
     # Export GIF/MP4 per scene (reference on_test_end:1069-1088).
     for scene_dir in sorted(output_dir.iterdir()):

@@ -54,25 +54,37 @@ class TestAnchoredSampling:
         sampler = VideoSampler(
             engine, unet_params, vae_params, num_anchors_views=8
         )
-        run_shapes = []
-        orig_run = sampler._run
+        launches = []
+        orig_sample = sampler._sample
 
-        def spy_run(context, target, rel_index, rng):
-            run_shapes.append(
-                (context.images.shape[0], target.extrinsics.shape[0], rel_index)
+        def spy_sample(unet_params, vae_params, ctx_u8, extr, intr,
+                       num_target_views, rng):
+            # Record (v_c, v_t, index of the view the poses are relative
+            # to). The relative view's extrinsics are exactly identity.
+            extr_np = np.asarray(extr)
+            rel = [
+                i for i in range(extr_np.shape[1])
+                if np.allclose(extr_np[0, i], np.eye(4), atol=1e-5)
+            ]
+            launches.append(
+                (ctx_u8.shape[1], num_target_views, rel[0] if rel else None)
             )
-            return orig_run(context, target, rel_index, rng)
+            return orig_sample(
+                unet_params, vae_params, ctx_u8, extr, intr,
+                num_target_views=num_target_views, rng=rng,
+            )
 
-        sampler._run = spy_run
+        sampler._sample = spy_sample
         ctx, tgt = make_scene(n_target=17)
         results = sampler.sample_anchored(ctx, tgt, jax.random.PRNGKey(0))
         assert sorted(results.keys()) == tgt.index.tolist()
         # anchor_step = 17//8 = 2 -> anchors at positions 2,4,...,16 (8 of
-        # them): one (1 ctx, 4 tgt) window then two chained (2 ctx, 3 tgt)
-        # windows (the second padded: 8-4-3 = 1 real anchor).
-        assert run_shapes[0] == (1, 4, 0)
-        assert run_shapes[1] == (2, 3, 1)
-        assert run_shapes[2] == (2, 3, 1)
+        # them): one (1 ctx, 4 tgt) window relative to the context, then two
+        # chained (2 ctx, 3 tgt) windows relative to the previous anchor
+        # (view 1; the second window is padded: 8-4-3 = 1 real anchor).
+        assert launches[0] == (1, 4, 0)
+        assert launches[1] == (2, 3, 1)
+        assert launches[2] == (2, 3, 1)
 
     def test_limit_frames(self, tiny_engine):
         engine, unet_params, vae_params = tiny_engine
