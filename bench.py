@@ -6,6 +6,14 @@ context view, then fills in groups of 3 conditioned on [context, anchor]) —
 on the flagship SD2.1-scale multi-view UNet in bf16, end to end: ray
 encoding, batched-CFG UNet denoising under lax.scan, VAE decode.
 
+The default mode measures the production evaluation pipeline
+(``mode=test test.scene_batch=4``): 4 scenes stacked per dispatch,
+next batch dispatched before the previous is gathered — the steady-state
+configuration for sweeping the 1616-scene RE10K video protocol. The
+per-scene-latency variant (one scene per dispatch, dispatch+gather
+sequential — rounds 1-2's headline shape) is ``--single-scene``;
+BENCHMARKS.md tracks both.
+
 Weights are random (no checkpoint is downloadable in this environment);
 throughput is weight-independent.
 
@@ -293,18 +301,19 @@ def main(mode: str = "anchored") -> None:
 if __name__ == "__main__":
     import sys
 
+    ar = "--autoregressive" in sys.argv[1:]
     if "--train" in sys.argv[1:]:
         bench_train()
     elif "--scene-batch" in sys.argv[1:]:
         bench_scene_batch(
             int(sys.argv[sys.argv.index("--scene-batch") + 1]),
-            mode=(
-                "autoregressive"
-                if "--autoregressive" in sys.argv[1:]
-                else "anchored"
-            ),
+            mode="autoregressive" if ar else "anchored",
         )
-    elif "--autoregressive" in sys.argv[1:]:
+    elif "--single-scene" in sys.argv[1:]:
+        main(mode="autoregressive" if ar else "anchored")
+    elif ar:
         main(mode="autoregressive")
     else:
-        main()
+        # Headline: the scene-batched production eval pipeline (see
+        # module docstring); per-scene latency via --single-scene.
+        bench_scene_batch(4)

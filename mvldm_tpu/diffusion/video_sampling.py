@@ -316,6 +316,23 @@ class VideoSampler:
         limit_frames: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
     ) -> "VideoSampler.ManyPending":
+        # Publish the mesh while the launches trace so Pallas-backed ops
+        # wrap themselves in shard_map (parallel/tp.run_manual — required
+        # for multi-device Mosaic lowering).
+        from ..parallel.tp import published_mesh
+
+        with published_mesh(mesh):
+            return self._dispatch_anchored_many(
+                scenes, rng, limit_frames, mesh
+            )
+
+    def _dispatch_anchored_many(
+        self,
+        scenes: List[Tuple[SceneViews, SceneViews]],
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "VideoSampler.ManyPending":
         """Dispatch a BATCH of scenes asynchronously, scenes stacked along
         the batch axis of every launch. TPU-native eval scaling: with a
         ``mesh``, the scene axis shards over the mesh's ``data`` axis, so S
@@ -598,6 +615,21 @@ class VideoSampler:
         )
 
     def dispatch_autoregressive_many(
+        self,
+        scenes: List[Tuple[SceneViews, SceneViews]],
+        rng: jax.Array,
+        limit_frames: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "VideoSampler.ManyPending":
+        # See dispatch_anchored_many: mesh published while launches trace.
+        from ..parallel.tp import published_mesh
+
+        with published_mesh(mesh):
+            return self._dispatch_autoregressive_many(
+                scenes, rng, limit_frames, mesh
+            )
+
+    def _dispatch_autoregressive_many(
         self,
         scenes: List[Tuple[SceneViews, SceneViews]],
         rng: jax.Array,

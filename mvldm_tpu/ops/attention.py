@@ -237,9 +237,24 @@ def _use_pallas() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _attention_prim(q, k, v, bias, scale):
-    if _use_pallas():
-        return flash_attention(q, k, v, bias, scale=scale)
-    return mha_reference(q, k, v, bias, scale=scale)
+    # Under a published device mesh the forward MUST run inside a shard_map
+    # (Mosaic custom calls cannot be auto-partitioned by XLA SPMD — the
+    # lowering hard-fails on multi-device jit); run_manual shards the batch
+    # dim as finely as divisibility allows and is a direct call otherwise.
+    # The XLA path is wrapped too so the CPU mesh tests exercise the same
+    # partitioning the TPU path gets. See parallel/tp.py.
+    from ..parallel.tp import run_manual
+
+    base = flash_attention if _use_pallas() else mha_reference
+    if bias is None:
+        return run_manual(
+            lambda q_, k_, v_: base(q_, k_, v_, None, scale=scale),
+            batched=(q, k, v),
+        )
+    return run_manual(
+        lambda q_, k_, v_, b_: base(q_, k_, v_, b_, scale=scale),
+        batched=(q, k, v, bias),
+    )
 
 
 def _attention_fwd(q, k, v, bias, scale):

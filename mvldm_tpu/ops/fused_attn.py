@@ -197,11 +197,24 @@ def _use_pallas(c: int, dtype) -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _attn_prim(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads,
                head_dim, eps):
+    # run_manual: under a published mesh the Pallas forward must live in a
+    # shard_map (Mosaic kernels cannot be auto-partitioned); the batch rows
+    # shard over data AND model when divisible — per-frame view parallelism
+    # for trainer.strategy=data_model. Direct call when no mesh is active.
+    from ..parallel.tp import run_manual
+
     if _use_pallas(x.shape[-1], wq.dtype):
-        return _attn_pallas(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
-                            num_heads, head_dim, eps=eps)
-    return _attn_jnp(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads,
-                     head_dim, eps=eps)
+        fn = functools.partial(
+            _attn_pallas, num_heads=num_heads, head_dim=head_dim, eps=eps
+        )
+    else:
+        fn = functools.partial(
+            _attn_jnp, num_heads=num_heads, head_dim=head_dim, eps=eps
+        )
+    return run_manual(
+        fn, batched=(x,),
+        replicated=(ln_scale, ln_bias, wq, wk, wv, wo, bo),
+    )
 
 
 def _attn_fwd(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads,

@@ -154,9 +154,17 @@ def _use_pallas(c: int, dtype) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _ff_prim(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
-    if _use_pallas(x.shape[-1], w1.dtype):
-        return _ff_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
-    return _ff_jnp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
+    # run_manual: under a published mesh the Pallas forward must live in a
+    # shard_map (Mosaic kernels cannot be auto-partitioned); the batch rows
+    # shard over data AND model when divisible — per-frame view parallelism
+    # for trainer.strategy=data_model. Direct call when no mesh is active.
+    from ..parallel.tp import run_manual
+
+    fn = _ff_pallas if _use_pallas(x.shape[-1], w1.dtype) else _ff_jnp
+    return run_manual(
+        functools.partial(fn, eps=eps),
+        batched=(x,), replicated=(ln_scale, ln_bias, w1, b1, w2, b2),
+    )
 
 
 def _ff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):

@@ -19,13 +19,127 @@ never enter this path.
 
 from __future__ import annotations
 
-from typing import Optional
+from contextlib import contextmanager
+from typing import Optional, Sequence, Tuple
 
 import jax
 from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 
 _MODEL_MESH: Optional[Mesh] = None
+_ACTIVE_MESH: Optional[Mesh] = None
+_IN_MANUAL: bool = False
+
+
+def _smap(mesh: Mesh, fn, in_specs, out_specs):
+    """shard_map across jax versions (new top-level API vs experimental).
+    Replication checking is off: bodies may hold Pallas custom calls whose
+    varying-axes inference is opaque, and fully-replicated fallback specs
+    (see :func:`run_manual`) produce outputs the checker cannot prove
+    replicated."""
+    try:
+        from jax import shard_map as _sm
+
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except ImportError:  # older jax: experimental API with check_rep
+        from jax.experimental.shard_map import shard_map as _sm_old
+
+        return _sm_old(fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Publish (or clear, with None) the mesh every Pallas-backed op must
+    partition itself over. Mosaic custom calls CANNOT be auto-partitioned
+    by XLA's SPMD pass — a multi-device jit that reaches one outside a
+    shard_map fails to lower ("Please wrap the call in a shard_map",
+    jax tpu_custom_call.py) — so whenever a computation is jitted over a
+    mesh, the mesh is published here and the op prims in ``ops/*`` route
+    their forward through :func:`run_manual`. Trace-time state, like
+    :func:`set_model_mesh`."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.size <= 1:
+        return None
+    return mesh
+
+
+@contextmanager
+def published_mesh(mesh: Optional[Mesh]):
+    """Scoped :func:`set_active_mesh`: publish ``mesh`` (no-op when None)
+    for the duration of a dispatch whose jits trace inside, restoring the
+    previous publication after. Lets the eval sampler shard its launches
+    without clobbering a trainer-published mesh in the same process."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    if mesh is not None:
+        _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
+@contextmanager
+def manual_region():
+    """Marks a shard_map body trace: ops called inside must NOT re-wrap
+    themselves (nested shard_map over the same mesh is illegal). Tracing is
+    synchronous, so a plain module flag is correct."""
+    global _IN_MANUAL
+    prev = _IN_MANUAL
+    _IN_MANUAL = True
+    try:
+        yield
+    finally:
+        _IN_MANUAL = prev
+
+
+def _batch_axes(n: int, mesh: Mesh) -> Tuple[str, ...]:
+    """Finest mesh-axis tuple that evenly shards a leading batch dim of n:
+    all axes, the data axis alone, or none (fully replicated compute —
+    still legal, every device runs the whole op)."""
+    if n % mesh.size == 0:
+        return tuple(mesh.axis_names)
+    if "data" in mesh.axis_names and n % mesh.shape["data"] == 0:
+        return ("data",)
+    return ()
+
+
+def run_manual(fn, batched: Sequence[Array], replicated: Sequence[Array] = ()):
+    """Execute ``fn(*batched, *replicated)`` under a shard_map over ALL axes
+    of the active mesh, sharding each batched operand's LEADING axis as
+    finely as divisibility allows and replicating the rest.
+
+    This is the legality shim for Pallas kernels under multi-device jit
+    (see :func:`set_active_mesh`) and simultaneously the tensor-parallel
+    execution path for the per-frame fused blocks: with
+    ``trainer.strategy=data_model`` the (b*v) per-frame batch shards over
+    data AND model — view parallelism — so the model axis scales the
+    per-frame attention/FF compute, not just the joint attention's heads.
+
+    No-op (direct call) when no mesh is active, the mesh has one device, or
+    we are already inside a shard_map body. The ops' per-example math has
+    no cross-batch reductions, so sharding choice never changes numerics."""
+    mesh = get_active_mesh()
+    if mesh is None or _IN_MANUAL:
+        return fn(*batched, *replicated)
+    axes = _batch_axes(batched[0].shape[0], mesh)
+    lead = axes if axes else None
+    in_specs = tuple(
+        P(lead, *([None] * (x.ndim - 1))) for x in batched
+    ) + tuple(P() for _ in replicated)
+    out_specs = P(lead, *([None] * (batched[0].ndim - 1)))
+
+    def body(*args):
+        with manual_region():
+            return fn(*args)
+
+    return _smap(mesh, body, in_specs, out_specs)(*batched, *replicated)
 
 
 def set_model_mesh(mesh: Optional[Mesh]) -> None:
@@ -62,33 +176,27 @@ def head_sharded_attention(
     unsharded op otherwise)."""
     from ..ops.attention import attention
 
-    try:
-        from jax import shard_map as _sm
-
-        def smap(fn, in_specs, out_specs):
-            return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    except ImportError:  # older jax: experimental API with check_rep
-        from jax.experimental.shard_map import shard_map as _sm_old
-
-        def smap(fn, in_specs, out_specs):
-            return _sm_old(fn, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_rep=False)
-
     qspec = P("data", "model", None, None)
 
     if bias is None:
-        f = smap(
-            lambda q_, k_, v_: attention(q_, k_, v_, None, scale),
-            in_specs=(qspec, qspec, qspec),
-            out_specs=qspec,
-        )
-        return f(q, k, v)
-    f = smap(
-        lambda q_, k_, v_, b_: attention(q_, k_, v_, b_, scale),
+
+        def body3(q_, k_, v_):
+            with manual_region():
+                return attention(q_, k_, v_, None, scale)
+
+        return _smap(
+            mesh, body3, in_specs=(qspec, qspec, qspec), out_specs=qspec
+        )(q, k, v)
+
+    def body4(q_, k_, v_, b_):
+        with manual_region():
+            return attention(q_, k_, v_, b_, scale)
+
+    return _smap(
+        mesh, body4,
         in_specs=(qspec, qspec, qspec, P("data", None)),
         out_specs=qspec,
-    )
-    return f(q, k, v, bias)
+    )(q, k, v, bias)
 
 
 def use_head_sharding(q_shape, mesh: Optional[Mesh]) -> bool:

@@ -165,10 +165,14 @@ def make_train_step(
         if key not in jitted:
             # Publish (or clear) the TP mesh so THIS step's trace of the
             # joint cross-view attention picks the intended sharding —
-            # trace-time context, read in models/mv_attention.py.
-            from ..parallel.tp import set_model_mesh
+            # trace-time context, read in models/mv_attention.py. The
+            # active mesh additionally routes every Pallas-backed op
+            # through an explicit shard_map (required for multi-device
+            # lowering of Mosaic kernels; parallel/tp.run_manual).
+            from ..parallel.tp import set_active_mesh, set_model_mesh
 
             set_model_mesh(mesh if shard_model_axis else None)
+            set_active_mesh(mesh)
             sh = state_shardings(key)
             jitted[key] = jax.jit(
                 train_step,
