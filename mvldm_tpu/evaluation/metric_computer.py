@@ -50,8 +50,38 @@ class SceneCfg:
 
 
 @dataclass
+class MVCCfg:
+    """MET3R multi-view-consistency knobs; cfg-surface parity with the
+    reference's stub (``evaluation_cfg.py:24-31`` — the metric itself lives
+    in the external MET3R package, which the reference never invokes from
+    this repo either)."""
+
+    subsample_or_initxy1: int = 8
+    corres_weighting: bool = False
+    conf_weighting: bool = True
+    confidence_key: str = "conf"
+    reduction: Optional[str] = "mean"
+    return_matches: bool = False
+
+
+@dataclass
+class MVSSIMCfg:
+    """Reference ``evaluation_cfg.py:33-40`` (MVC + intrinsics flag)."""
+
+    subsample_or_initxy1: int = 8
+    corres_weighting: bool = False
+    conf_weighting: bool = True
+    confidence_key: str = "conf"
+    reduction: Optional[str] = "mean"
+    return_matches: bool = False
+    compute_intrinsics: bool = False
+
+
+@dataclass
 class EvaluationCfg:
-    """Reference ``evaluation_cfg.py:42-47``."""
+    """Reference ``evaluation_cfg.py:42-47``, merged with the MVC/MVSSIM
+    evaluation stub fields (``evaluation_cfg.py:49-69``) so the
+    ``re10k_extra_mvc`` / ``re10k_extra_mvssim`` protocol yamls compose."""
 
     methods: List[MethodCfg]
     side_by_side_path: Optional[Path] = None
@@ -61,6 +91,17 @@ class EvaluationCfg:
     # MET3R/MASt3R weights path; config-surface parity with the reference's
     # evaluation yamls (unused unless MVC metrics are computed).
     weights: Optional[str] = None
+    # MVC/MVSSIM evaluation stubs (reference MVCEvaluationCfg /
+    # MVSSIMEvaluationCfg): parsed and carried, computed by the external
+    # MET3R tooling.
+    types: str = "fixed"  # "fixed" | "pairwise"
+    img_size: int = 224
+    output_path: Optional[Path] = None
+    mvc_cfg: Optional[MVCCfg] = None
+    mvssim_cfg: Optional[MVSSIMCfg] = None
+    gt_directory: Optional[Path] = None
+    gap: int = 1
+    nchuncks: int = 20
 
 
 class MetricComputer:

@@ -54,9 +54,33 @@ class TestEvaluationConfigSurface:
         # Sibling protocols compose too.
         for name in ("re10k_video_100", "re10k_video_150", "re10k_video_all",
                      "re10k_video_anchor", "re10k_intra", "re10k_extra",
-                     "re10k_video_training_evolution", "re10k_video_vldm"):
+                     "re10k_video_training_evolution", "re10k_video_vldm",
+                     "re10k_extra_mvc", "re10k_extra_mvssim"):
             d = compose([f"+evaluation={name}"], main_name="compute_metrics")
             assert d["dataset"]["view_sampler"]["name"] == "evaluation"
+
+    def test_mvc_mvssim_protocols_parse_typed(self):
+        """The MET3R MVC/MVSSIM stub protocols (reference
+        evaluation_cfg.py:24-69, config/evaluation/re10k_extra_mv*.yaml)
+        compose AND type-check into the stub dataclasses."""
+        from mvldm_tpu.evaluation.metric_computer import MVCCfg, MVSSIMCfg
+        from mvldm_tpu.scripts.compute_metrics import load_compute_metrics_cfg
+
+        cfg = load_compute_metrics_cfg(
+            ["+evaluation=re10k_extra_mvc", "dataset.root=/tmp/nonexistent"]
+        )
+        assert isinstance(cfg.evaluation.mvc_cfg, MVCCfg)
+        assert cfg.evaluation.mvc_cfg.corres_weighting is True
+        assert cfg.evaluation.mvc_cfg.reduction is None
+        assert cfg.evaluation.types == "fixed"
+        assert cfg.evaluation.img_size == 224
+
+        cfg = load_compute_metrics_cfg(
+            ["+evaluation=re10k_extra_mvssim", "dataset.root=/tmp/nonexistent"]
+        )
+        assert isinstance(cfg.evaluation.mvssim_cfg, MVSSIMCfg)
+        assert cfg.evaluation.mvssim_cfg.compute_intrinsics is False
+        assert cfg.evaluation.types == "pairwise"
 
     def test_compose_co3d_evaluation_groups(self):
         """All 9 CO3D protocols compose (the reference ships these yamls but
