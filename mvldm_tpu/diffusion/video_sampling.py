@@ -234,6 +234,19 @@ class VideoSampler:
     ManyPending = List[Tuple[jax.Array, List[Tuple[int, int, int]]]]
 
     @staticmethod
+    def _submit(pending, out: jax.Array, rows) -> None:
+        """Register a launch output and start its device->host DMA NOW: the
+        copy engine overlaps the transfer of launch i's images with the
+        compute of launches i+1.. in the device queue, so gather()'s
+        np.asarray finds the bytes already on the host instead of paying
+        the full transfer at the end (~16 MB/scene of uint8 frames)."""
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass  # non-Array outputs / backends without async copy
+        pending.append((out, rows))
+
+    @staticmethod
     def gather(pending: "VideoSampler.Pending") -> Dict[int, np.ndarray]:
         """Materialize a dispatched scene: one host transfer per launch
         output (later launches keep computing while earlier ones copy)."""
@@ -428,11 +441,11 @@ class VideoSampler:
             pad_cols(anchor_pos[:first_n], first_bucket),
             rel_index=0, v_t=first_bucket, k=k,
         )  # (S, first_bucket, h, w, 3) device
-        pending.append(
-            (anchors,
-             [(sc * first_bucket + i, sc, int(targets[sc].index[pos]))
-              for sc in range(s)
-              for i, pos in enumerate(anchor_pos[:first_n])])
+        self._submit(
+            pending, anchors,
+            [(sc * first_bucket + i, sc, int(targets[sc].index[pos]))
+             for sc in range(s)
+             for i, pos in enumerate(anchor_pos[:first_n])],
         )
         # Device columns per anchor rank, feeding the fill-phase tables.
         anchor_cols: List[jax.Array] = [
@@ -464,12 +477,12 @@ class VideoSampler:
                 pad_cols(anchor_pos[start:end], self.group_size),
                 rel_index=1, v_t=self.group_size, k=k,
             )
-            pending.append(
-                (imgs,
-                 [(sc * self.group_size + i, sc,
-                   int(targets[sc].index[pos]))
-                  for sc in range(s)
-                  for i, pos in enumerate(anchor_pos[start:end])])
+            self._submit(
+                pending, imgs,
+                [(sc * self.group_size + i, sc,
+                  int(targets[sc].index[pos]))
+                 for sc in range(s)
+                 for i, pos in enumerate(anchor_pos[start:end])],
             )
             anchor_cols.extend(imgs[:, i] for i in range(real))
             last_anchor_pos = int(anchor_pos[end - 1])
@@ -597,7 +610,7 @@ class VideoSampler:
                          int(targets[sc].index[p]))
                         for i, p in enumerate(group)
                     )
-            pending.append((out, rows))
+            self._submit(pending, out, rows)
         return pending
 
     # ------------------------------------------------------- autoregressive
@@ -701,11 +714,11 @@ class VideoSampler:
             pad_cols(np.arange(n_initial), self.num_anchors),
             rel_index=0, v_t=self.num_anchors, k=k,
         )  # (S, num_anchors, h, w, 3)
-        pending.append(
-            (images,
-             [(sc * self.num_anchors + i, sc, int(targets[sc].index[i]))
-              for sc in range(s)
-              for i in range(real)])
+        self._submit(
+            pending, images,
+            [(sc * self.num_anchors + i, sc, int(targets[sc].index[i]))
+             for sc in range(s)
+             for i in range(real)],
         )
 
         last_pos = n_initial - 1
@@ -729,12 +742,12 @@ class VideoSampler:
                 pad_cols(np.arange(start, end), self.group_size),
                 rel_index=1, v_t=self.group_size, k=k,
             )
-            pending.append(
-                (images,
-                 [(sc * self.group_size + i, sc,
-                   int(targets[sc].index[p]))
-                  for sc in range(s)
-                  for i, p in enumerate(range(start, end))])
+            self._submit(
+                pending, images,
+                [(sc * self.group_size + i, sc,
+                  int(targets[sc].index[p]))
+                 for sc in range(s)
+                 for i, p in enumerate(range(start, end))],
             )
             last_pos = end - 1
             last_image = images[:, real - 1]
@@ -779,8 +792,8 @@ class VideoSampler:
         initial = self._take(target, np.arange(n_initial))
         initial_padded, real = self._pad_group(initial, self.num_anchors)
         images = self._run(context, initial_padded, rel_index=0, rng=k)[:real]
-        pending.append(
-            (images, [(i, int(target.index[i])) for i in range(real)])
+        self._submit(
+            pending, images, [(i, int(target.index[i])) for i in range(real)]
         )
 
         last_pos = n_initial - 1
@@ -800,10 +813,10 @@ class VideoSampler:
                 self._take(target, np.arange(start, end)), self.group_size
             )
             images = self._run(ctx2, gviews, rel_index=1, rng=k)[:real]
-            pending.append(
-                (images,
-                 [(i, int(target.index[p]))
-                  for i, p in enumerate(range(start, end))])
+            self._submit(
+                pending, images,
+                [(i, int(target.index[p]))
+                 for i, p in enumerate(range(start, end))],
             )
             last_pos = end - 1
             last_image = images[real - 1]
