@@ -13,8 +13,9 @@ implementations with one contract:
   key blocks, no materialized L×L matrix in HBM).
 
 :func:`attention` dispatches between them and wires a custom VJP so the Pallas
-forward is usable in training (the backward recomputes attention weights with
-jnp — fine at this model's sequence lengths of ≤ ~8k tokens).
+forward is usable in training. The backward recomputes attention weights in
+query chunks under ``lax.scan`` (see :func:`_attention_bwd`), so no full L×L
+score tensor is ever materialized in either direction.
 
 An optional additive ``bias`` of shape (batch, kv_len) masks keys; the
 multi-view UNet uses it to exclude padded views from cross-view attention,
@@ -261,25 +262,76 @@ def _attention_fwd(q, k, v, bias, scale):
     return _attention_prim(q, k, v, bias, scale), (q, k, v, bias)
 
 
+# Query rows per backward chunk. 1024 bounds the live score tiles to
+# (B, H, 1024, Lk) f32 — ~170 MB/batch-row at the joint cross-view training
+# shape — while each chunk's matmuls stay MXU-sized.
+_BWD_CHUNK = 1024
+
+
 def _attention_bwd(scale, res, g):
-    """Analytic attention backward with recomputed weights (fp32)."""
+    """Query-chunked analytic attention backward (fp32, exact).
+
+    A naive backward materializes four (B, H, Lq, Lk) f32 score tensors —
+    ~840 MB each per batch row at the joint cross-view training shape
+    (H=8, L=5*1024), which is both an HBM-bandwidth sink and the single-chip
+    OOM cliff at train batch >= 4. Chunking the queries under ``lax.scan``
+    bounds live score memory to one (B, H, _BWD_CHUNK, Lk) tile per array
+    while computing identical gradients (softmax statistics are per-row, so
+    query chunking is exact; dk/dv accumulate across chunks in f32).
+    """
     q, k, v, bias = res
-    qf = q.astype(jnp.float32)
+    b, h, lq, d = q.shape
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
+    bf = None if bias is None else bias.astype(jnp.float32)[:, None, None, :]
+
+    def chunk_grads(q_c, g_c, dk, dv, db):
+        """Gradients from one query chunk; accumulates dk/dv/dbias."""
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q_c, kf, preferred_element_type=jnp.float32
+        ) * scale
+        if bf is not None:
+            s = s + bf
+        p = jax.nn.softmax(s, axis=-1)
+        dv = dv + jnp.einsum("bhqk,bhqd->bhkd", p, g_c)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g_c, vf)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+        dk = dk + jnp.einsum("bhqk,bhqd->bhkd", ds, q_c) * scale
+        if db is not None:
+            db = db + jnp.sum(ds, axis=(1, 2))
+        return dq_c, dk, dv, db
+
+    qf = q.astype(jnp.float32)
     gf = g.astype(jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
-    if bias is not None:
-        s = s + bias.astype(jnp.float32)[:, None, None, :]
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
-    dbias = None
-    if bias is not None:
-        dbias = jnp.sum(ds, axis=(1, 2)).astype(bias.dtype)
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    db0 = None if bias is None else jnp.zeros(bias.shape, jnp.float32)
+
+    n = -(-lq // _BWD_CHUNK)
+    if n == 1:
+        dq, dk, dv, db = chunk_grads(qf, gf, dk0, dv0, db0)
+    else:
+        # Zero-pad queries to a whole number of chunks: zero-gradient rows
+        # contribute nothing to dk/dv/dbias (dp == 0 -> ds == 0) and their
+        # dq rows are sliced off below.
+        pad = n * _BWD_CHUNK - lq
+        if pad:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            gf = jnp.pad(gf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        qcs = qf.reshape(b, h, n, _BWD_CHUNK, d).transpose(2, 0, 1, 3, 4)
+        gcs = gf.reshape(b, h, n, _BWD_CHUNK, d).transpose(2, 0, 1, 3, 4)
+
+        def body(carry, inp):
+            dk, dv, db = carry
+            dq_c, dk, dv, db = chunk_grads(inp[0], inp[1], dk, dv, db)
+            return (dk, dv, db), dq_c
+
+        (dk, dv, db), dqs = jax.lax.scan(body, (dk0, dv0, db0), (qcs, gcs))
+        dq = dqs.transpose(1, 2, 0, 3, 4).reshape(b, h, n * _BWD_CHUNK, d)
+        dq = dq[:, :, :lq]
+
+    dbias = None if bias is None else db.astype(bias.dtype)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
 
 

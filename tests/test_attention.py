@@ -85,6 +85,28 @@ class TestAttentionDispatcher:
         for gc, gr in zip(g_custom, g_ref):
             np.testing.assert_allclose(np.asarray(gc), np.asarray(gr), atol=1e-5)
 
+    def test_gradients_chunked_backward(self, monkeypatch):
+        """Lq > _BWD_CHUNK exercises the lax.scan query-chunked backward,
+        including the zero-padded ragged final chunk."""
+        import importlib
+
+        attn_mod = importlib.import_module("mvldm_tpu.ops.attention")
+
+        monkeypatch.setattr(attn_mod, "_BWD_CHUNK", 8)
+        q, k, v = make_qkv(jax.random.PRNGKey(9), b=1, h=2, lq=21, lk=16, d=8)
+        bias = jnp.zeros((1, 16)).at[:, 12:].set(NEG_INF)
+
+        def loss_custom(q, k, v, bias):
+            return jnp.sum(attention(q, k, v, bias) ** 2)
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(mha_reference(q, k, v, bias) ** 2)
+
+        g_custom = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for gc, gr in zip(g_custom, g_ref):
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gr), atol=1e-5)
+
     def test_gradients_with_bias(self):
         q, k, v = make_qkv(jax.random.PRNGKey(8), b=2, h=2, lq=8, lk=12, d=8)
         bias = jnp.zeros((2, 12)).at[:, 8:].set(NEG_INF)
