@@ -164,8 +164,15 @@ def _attn_pallas(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads: int,
 def _attn_jnp(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads: int,
               head_dim: int, eps: float = 1e-6):
     """Decomposed reference path on the PADDED weights (exact by zero
-    padding); mirrors the previous module stack."""
-    from .attention import mha_reference
+    padding); mirrors the previous module stack.
+
+    The attention core goes through :func:`ops.attention.attention` (not the
+    naive ``mha_reference``): this path is also what the fused kernel's
+    backward differentiates through (see :func:`_attn_bwd`), and the
+    dispatcher's query-chunked VJP keeps the recompute from materializing the
+    (N, H, L, L) scores — at the C=320 stage (L = 64*64) that is a multi-GB
+    f32 transient per train step otherwise."""
+    from .attention import attention
 
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -181,7 +188,7 @@ def _attn_jnp(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, num_heads: int,
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    o = mha_reference(q, k, v, scale=1.0 / (head_dim ** 0.5))
+    o = attention(q, k, v, scale=1.0 / (head_dim ** 0.5))
     o = o.transpose(0, 2, 1, 3).reshape(n, l, num_heads * LANE)
     y = jnp.dot(o, wo.astype(dtype), preferred_element_type=jnp.float32) + bo
     return (xf + y).astype(dtype)
