@@ -21,6 +21,7 @@ OIHW -> HWIO (see ``utils/weight_convert.py``).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -80,24 +81,61 @@ class GroupNorm(nn.Module):
         return out.astype(x.dtype)
 
 
+class PallasConv3x3(nn.Module):
+    """Param-compatible drop-in for a 3x3 SAME ``nn.Conv`` that routes
+    lane-aligned shapes through the Pallas shifted-matmul kernel
+    (``ops/conv3x3.py``); identical param names/shapes/init, so checkpoint
+    conversion and init-parity are unaffected. Non-aligned shapes fall back
+    to the XLA lowering inside the op."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.conv3x3 import conv3x3
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.out_channels),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.out_channels,)
+        )
+        return conv3x3(x.astype(self.dtype), kernel, bias)
+
+
 class ResnetBlock(nn.Module):
-    """GroupNorm -> SiLU -> Conv3x3 (x2) with residual; optional time emb."""
+    """GroupNorm -> SiLU -> Conv3x3 (x2) with residual; optional time emb.
+
+    ``pallas_conv`` swaps the two 3x3 convs for the Pallas shifted-matmul
+    kernel — enabled by the (frozen) VAE, whose large-spatial stages XLA
+    lowers well under the MXU rate (see ``ops/conv3x3.py``). The UNet keeps
+    XLA convs: its shapes already run at the conv ceiling and its backward
+    is a hot path."""
 
     out_channels: int
     use_time_emb: bool = True
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         in_channels = x.shape[-1]
         residual = x
+        conv = (
+            functools.partial(PallasConv3x3, dtype=self.dtype)
+            if self.pallas_conv
+            else functools.partial(
+                nn.Conv, kernel_size=(3, 3), padding=1, dtype=self.dtype
+            )
+        )
 
         h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(h)
+        h = conv(self.out_channels, name="conv1")(h)
 
         if self.use_time_emb:
             assert temb is not None
@@ -107,9 +145,7 @@ class ResnetBlock(nn.Module):
             h = h + t[:, None, None, :]
 
         h = GroupNorm(self.groups, self.eps, act="silu", name="norm2")(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
-        )(h)
+        h = conv(self.out_channels, name="conv2")(h)
 
         if in_channels != self.out_channels:
             residual = nn.Conv(

@@ -74,6 +74,37 @@ def conv_probe(n, hw, cin, cout, ksize=3, dtype=jnp.bfloat16, label=""):
     return t
 
 
+def pallas_conv_probe(n, hw, cin, cout, dtype=jnp.bfloat16):
+    """ops.conv3x3 Pallas kernel vs the XLA lowering at the same shape."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from mvldm_tpu.ops.conv3x3 import _conv3x3_pallas, supported
+
+    if not supported((n, hw, hw, cin), cin, cout, dtype):
+        print(f"  pallas conv {n}x{hw}x{hw}x{cin}->{cout}: unsupported shape")
+        return
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, hw, hw, cin)) * 0.1, dtype)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.01, dtype)
+    b = jnp.zeros((cout,), dtype)
+
+    def f(x, w, b):
+        out = _conv3x3_pallas(x, w, b)
+        if cout == cin:
+            return out
+        if cout > cin:
+            return out[..., :cin]
+        return jnp.tile(out, (1, 1, 1, cin // cout))
+
+    t = timeit(f, x, w, b)
+    flops = 2 * n * hw * hw * 9 * cin * cout
+    print(f"  pallas conv {n}x{hw}x{hw}x{cin}->{cout} "
+          f"{jnp.dtype(dtype).name}: {t*1e3:.3f} ms  {flops/t/1e12:.1f} TF/s")
+    return t
+
+
 def matmul_xla_probe(m, k, n, dtype=jnp.bfloat16):
     """XLA (non-Pallas) matmul rate for comparison; n == k for chaining."""
     rng = np.random.default_rng(0)
@@ -111,3 +142,12 @@ if __name__ == "__main__":
         print("\nVAE decoder convs:")
         conv_probe(4, 256, 128, 128)
         conv_probe(4, 128, 256, 256)
+    if "pallas" in sections:
+        print("\nPallas conv3x3 vs XLA (VAE decoder shapes):")
+        pallas_conv_probe(4, 256, 128, 128)
+        pallas_conv_probe(4, 256, 256, 128)
+        pallas_conv_probe(4, 128, 256, 256)
+        pallas_conv_probe(4, 128, 512, 256)
+        pallas_conv_probe(4, 64, 512, 512)
+        pallas_conv_probe(4, 32, 512, 512)
+        pallas_conv_probe(80, 32, 320, 320)

@@ -32,6 +32,7 @@ PROBES = (
     "fwd_noremat",
     "fwd_bwd_noremat",
     "opt_apply",
+    "vae_encode",
 )
 
 
@@ -131,6 +132,16 @@ def run_probe(probe: str, b: int) -> float:
         return (time.perf_counter() - t0) / 8
 
     batch = make_batch(b)
+
+    if probe == "vae_encode":
+        # The frozen-VAE image->latent encode inside training_loss
+        # (engine.training_loss -> encode_images); isolates its share of
+        # the forward probe.
+        def enc(images, rng):
+            z = engine.encode_images(vae_params, images, rng)
+            return jnp.sum(z)
+
+        return timed(jax.jit(enc), batch.images)
 
     def loss_fn(params, batch, rng):
         return engine.training_loss(
