@@ -32,11 +32,18 @@ fallback, not a hot path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import Array
 from jax.experimental import pallas as pl
+
+# Opt-in until the kernel has been Mosaic-validated on real hardware in
+# this environment (the sublane-offset dx slices are the risk point);
+# the XLA fallback is numerically identical. Set MVLDM_PALLAS_CONV=1 to
+# enable on TPU; flip the default after an on-chip parity + perf run.
+PALLAS_CONV_ENABLED = os.environ.get("MVLDM_PALLAS_CONV", "0") == "1"
 
 LANE = 128
 # Scoped-VMEM budget check: double-buffered row bands + weights + f32
@@ -148,8 +155,10 @@ def _conv_prim(x, w, b):
     # active. See parallel/tp.py.
     from ..parallel.tp import run_manual
 
-    if jax.default_backend() not in ("cpu",) and supported(
-        x.shape, x.shape[-1], w.shape[-1], x.dtype
+    if (
+        PALLAS_CONV_ENABLED
+        and jax.default_backend() not in ("cpu",)
+        and supported(x.shape, x.shape[-1], w.shape[-1], x.dtype)
     ):
         fn = lambda x_, w_, b_: _conv3x3_pallas(x_, w_.astype(x_.dtype), b_)
     else:
