@@ -77,25 +77,48 @@ def collate(examples: List[Example]) -> Dict[str, Any]:
 
 
 class PrefetchIterator:
-    """Wraps an iterator with a bounded background-thread prefetch queue."""
+    """Wraps an iterator with a bounded background-thread prefetch queue.
+
+    ``close()`` tears the whole pipeline down deterministically: the worker
+    thread stops, closes the source generator FROM ITS OWN THREAD (safe —
+    the generator is suspended at a yield, and closing it propagates
+    GeneratorExit down the generator stack, running e.g. the decode pool's
+    drain-and-join teardown in ``_parallel_train_examples``), and exits.
+    A worker exception takes the same cleanup path before being re-raised
+    to the consumer."""
 
     _SENTINEL = object()
 
     def __init__(self, source: Iterator, depth: int = 2):
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(source,), daemon=True
         )
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put with stop checks; False once stopped."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self, source):
         try:
             for item in source:
-                self._queue.put(item)
+                if not self._put(item):
+                    return
         except Exception as e:  # surface worker errors to the consumer
-            self._queue.put(e)
+            self._put(e)
         finally:
-            self._queue.put(self._SENTINEL)
+            close = getattr(source, "close", None)
+            if close is not None:
+                close()
+            self._put(self._SENTINEL)
 
     def __iter__(self):
         return self
@@ -107,6 +130,16 @@ class PrefetchIterator:
         if isinstance(item, Exception):
             raise item
         return item
+
+    def close(self) -> None:
+        """Stop the prefetch thread and close the source pipeline."""
+        self._stop.set()
+        while self._thread.is_alive():
+            try:  # drain so a pending put() observes the stop quickly
+                self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
 
 
 class DataModule:
@@ -221,12 +254,17 @@ class DataModule:
                 yield item
         finally:
             stop.set()
-            # Unblock producers stuck on a full queue.
-            while not out.empty():
-                try:
-                    out.get_nowait()
-                except queue.Empty:
-                    break
+            # Unblock producers stuck on a full queue: a single drain is not
+            # enough (every woken worker immediately puts its sentinel, which
+            # can refill the queue past capacity and re-strand threads), so
+            # keep draining until every worker has exited.
+            for t in threads:
+                while t.is_alive():
+                    try:
+                        out.get(timeout=0.1)
+                    except queue.Empty:
+                        pass
+                    t.join(timeout=0.01)
 
     def train_dataloader(self) -> Iterator[Dict[str, Any]]:
         cfg = self.data_loader_cfg.train

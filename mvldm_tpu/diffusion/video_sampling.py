@@ -322,6 +322,68 @@ class VideoSampler:
 
         return jax.device_put(arr, NamedSharding(mesh, P("data")))
 
+    @staticmethod
+    def _pad_cols(idx: np.ndarray, size: int) -> np.ndarray:
+        """Pad a target-position column index to a launch bucket size by
+        repeating the last entry (padded rows are never submitted)."""
+        idx = np.asarray(idx)
+        assert len(idx) > 0, "empty position index"
+        if len(idx) == size:
+            return idx
+        return np.concatenate([idx, np.repeat(idx[-1:], size - len(idx))])
+
+    def _prep_scene_batch(self, scenes, limit_frames, mesh, what: str):
+        """Shared *_many dispatcher preamble: per-scene take/validation and
+        the stacked per-scene camera tables (identical launch structure
+        across scenes — it depends only on the common target count)."""
+        s = len(scenes)
+        prep: List[Tuple[SceneViews, SceneViews]] = []
+        for ctx, tgt in scenes:
+            if limit_frames is not None:
+                tgt = self._take(
+                    tgt, np.arange(min(limit_frames, len(tgt.index)))
+                )
+            prep.append((self._take(ctx, [0]), tgt))
+        counts = {len(t.index) for _, t in prep}
+        if len(counts) != 1:
+            raise ValueError(
+                f"{what} requires equal target counts across the scene "
+                f"batch; got {sorted(counts)}"
+            )
+        if mesh is not None and s % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"scene batch {s} does not divide the mesh's data axis "
+                f"({mesh.shape['data']})"
+            )
+        contexts = [c for c, _ in prep]
+        targets = [t for _, t in prep]
+        n_t = counts.pop()
+        ctx_extr = np.stack([c.extrinsics for c in contexts])  # (S, 1, 4, 4)
+        ctx_intr = np.stack([c.intrinsics for c in contexts])
+        tgt_extr = np.stack([t.extrinsics for t in targets])   # (S, n_t, ...)
+        tgt_intr = np.stack([t.intrinsics for t in targets])
+        ctx0_u8 = self._shard(
+            np.stack([self._to_u8(c.images) for c in contexts]), mesh
+        )  # (S, 1, h, w, 3)
+        return s, targets, n_t, ctx_extr, ctx_intr, tgt_extr, tgt_intr, ctx0_u8
+
+    def _make_launch(self, tgt_extr, tgt_intr, mesh):
+        """One bucketed (S, v_c) ctx -> (S, v_t) sampling launch; camera
+        stacks assembled from the shared per-scene tables."""
+
+        def launch(ctx_imgs, c_extr, c_intr, pos_padded, rel_index, v_t, k):
+            extr = np.concatenate([c_extr, tgt_extr[:, pos_padded]], axis=1)
+            intr = np.concatenate([c_intr, tgt_intr[:, pos_padded]], axis=1)
+            extr = absolute_to_relative_camera(
+                self._shard(extr, mesh), rel_index
+            )
+            return self._sample(
+                self.unet_params, self.vae_params, ctx_imgs, extr,
+                self._shard(intr, mesh), num_target_views=v_t, rng=k,
+            )
+
+        return launch
+
     def dispatch_anchored_many(
         self,
         scenes: List[Tuple[SceneViews, SceneViews]],
@@ -358,69 +420,27 @@ class VideoSampler:
         ``dispatch_anchored`` delegates here with S=1 — identical launch
         shapes (modulo the leading scene axis) and RNG fold structure, so
         results match the pre-batched implementation bit-for-bit."""
-        s = len(scenes)
-        prep: List[Tuple[SceneViews, SceneViews]] = []
-        for ctx, tgt in scenes:
-            if limit_frames is not None:
-                tgt = self._take(
-                    tgt, np.arange(min(limit_frames, len(tgt.index)))
-                )
-            prep.append((self._take(ctx, [0]), tgt))
-        counts = {len(t.index) for _, t in prep}
-        if len(counts) != 1:
-            raise ValueError(
-                "dispatch_anchored_many requires equal target counts across "
-                f"the scene batch; got {sorted(counts)}"
-            )
-        if mesh is not None and s % mesh.shape["data"] != 0:
-            raise ValueError(
-                f"scene batch {s} does not divide the mesh's data axis "
-                f"({mesh.shape['data']})"
-            )
-        contexts = [c for c, _ in prep]
-        targets = [t for _, t in prep]
-        n_t = counts.pop()
+        (s, targets, n_t, ctx_extr, ctx_intr, tgt_extr, tgt_intr,
+         ctx0_u8) = self._prep_scene_batch(
+            scenes, limit_frames, mesh, "dispatch_anchored_many"
+        )
 
         n_anchors = min(self.num_anchors, n_t)
         anchor_step = max(n_t // n_anchors, 1)
         anchor_pos = np.arange(anchor_step, (n_anchors + 1) * anchor_step,
                                anchor_step)[:n_anchors]
         anchor_pos = anchor_pos[anchor_pos < n_t]
-
-        # Per-scene stacked camera tables (identical anchor/group structure
-        # across scenes — it depends only on n_t).
-        ctx_extr = np.stack([c.extrinsics for c in contexts])  # (S, 1, 4, 4)
-        ctx_intr = np.stack([c.intrinsics for c in contexts])
-        tgt_extr = np.stack([t.extrinsics for t in targets])   # (S, n_t, 4, 4)
-        tgt_intr = np.stack([t.intrinsics for t in targets])
-        ctx0_u8 = self._shard(
-            np.stack([self._to_u8(c.images) for c in contexts]), mesh
-        )  # (S, 1, h, w, 3)
+        if len(anchor_pos) == 0:
+            # n_t == 1: the single target frame is its own anchor.
+            anchor_pos = np.asarray([n_t - 1])
 
         # The whole batch is dispatched WITHOUT host syncs — anchor outputs
         # stay on device (feeding the chained windows and the fill-phase
         # context tables as device slices) and results materialize in one
         # gather at the end.
         pending: VideoSampler.ManyPending = []
-
-        def pad_cols(idx: np.ndarray, size: int) -> np.ndarray:
-            idx = np.asarray(idx)
-            if len(idx) == size:
-                return idx
-            return np.concatenate([idx, np.repeat(idx[-1:], size - len(idx))])
-
-        def launch(ctx_imgs, c_extr, c_intr, pos_padded, rel_index, v_t, k):
-            """One bucketed (S, v_c) ctx -> (S, v_t) sampling launch; camera
-            stacks assembled from the shared per-scene tables."""
-            extr = np.concatenate([c_extr, tgt_extr[:, pos_padded]], axis=1)
-            intr = np.concatenate([c_intr, tgt_intr[:, pos_padded]], axis=1)
-            extr = absolute_to_relative_camera(
-                self._shard(extr, mesh), rel_index
-            )
-            return self._sample(
-                self.unet_params, self.vae_params, ctx_imgs, extr,
-                self._shard(intr, mesh), num_target_views=v_t, rng=k,
-            )
+        pad_cols = self._pad_cols
+        launch = self._make_launch(tgt_extr, tgt_intr, mesh)
 
         # Anchor generation. The first window draws up to four anchors from
         # the context alone; when num_anchors_views > 4 the remaining anchors
@@ -657,54 +677,13 @@ class VideoSampler:
         is the dominant throughput lever for this mode. Same async
         device-chaining as the single-scene path: window N's context is a
         device slice of window N-1's output, one gather at the end."""
-        s = len(scenes)
-        prep: List[Tuple[SceneViews, SceneViews]] = []
-        for ctx, tgt in scenes:
-            if limit_frames is not None:
-                tgt = self._take(
-                    tgt, np.arange(min(limit_frames, len(tgt.index)))
-                )
-            prep.append((self._take(ctx, [0]), tgt))
-        counts = {len(t.index) for _, t in prep}
-        if len(counts) != 1:
-            raise ValueError(
-                "dispatch_autoregressive_many requires equal target counts "
-                f"across the scene batch; got {sorted(counts)}"
-            )
-        if mesh is not None and s % mesh.shape["data"] != 0:
-            raise ValueError(
-                f"scene batch {s} does not divide the mesh's data axis "
-                f"({mesh.shape['data']})"
-            )
-        contexts = [c for c, _ in prep]
-        targets = [t for _, t in prep]
-        n_t = counts.pop()
+        (s, targets, n_t, ctx_extr, ctx_intr, tgt_extr, tgt_intr,
+         ctx0_u8) = self._prep_scene_batch(
+            scenes, limit_frames, mesh, "dispatch_autoregressive_many"
+        )
         n_initial = min(self.num_anchors, n_t)
-
-        ctx_extr = np.stack([c.extrinsics for c in contexts])  # (S, 1, 4, 4)
-        ctx_intr = np.stack([c.intrinsics for c in contexts])
-        tgt_extr = np.stack([t.extrinsics for t in targets])   # (S, n_t, 4, 4)
-        tgt_intr = np.stack([t.intrinsics for t in targets])
-        ctx0_u8 = self._shard(
-            np.stack([self._to_u8(c.images) for c in contexts]), mesh
-        )  # (S, 1, h, w, 3)
-
-        def pad_cols(idx: np.ndarray, size: int) -> np.ndarray:
-            idx = np.asarray(idx)
-            if len(idx) == size:
-                return idx
-            return np.concatenate([idx, np.repeat(idx[-1:], size - len(idx))])
-
-        def launch(ctx_imgs, c_extr, c_intr, pos_padded, rel_index, v_t, k):
-            extr = np.concatenate([c_extr, tgt_extr[:, pos_padded]], axis=1)
-            intr = np.concatenate([c_intr, tgt_intr[:, pos_padded]], axis=1)
-            extr = absolute_to_relative_camera(
-                self._shard(extr, mesh), rel_index
-            )
-            return self._sample(
-                self.unet_params, self.vae_params, ctx_imgs, extr,
-                self._shard(intr, mesh), num_target_views=v_t, rng=k,
-            )
+        pad_cols = self._pad_cols
+        launch = self._make_launch(tgt_extr, tgt_intr, mesh)
 
         pending: VideoSampler.ManyPending = []
         rng, k = jax.random.split(rng)

@@ -361,6 +361,13 @@ def _run_test_scene_batched(
         buckets.setdefault(n_t, []).append((scene_dir, ctx, tgt))
         if len(buckets[n_t]) == scene_batch:
             flush(buckets.pop(n_t))
+        # Heterogeneous target counts (e.g. CO3D without test.limit_frames)
+        # can open one bucket per n_t that never fills; bound the host
+        # memory those undispatched full-resolution scenes pin by flushing
+        # the fullest bucket (padded) once the backlog exceeds 4 batches.
+        elif sum(len(b) for b in buckets.values()) >= 4 * scene_batch:
+            fullest = max(buckets, key=lambda k: len(buckets[k]))
+            flush(buckets.pop(fullest))
     for bucket in buckets.values():
         if bucket:
             flush(bucket)

@@ -197,6 +197,33 @@ class TestDataModule:
             scenes.update(batch["scene"])
         assert len(scenes) == 2  # both synthetic scenes appear
 
+    def test_decode_pool_teardown_releases_workers(self, data_root):
+        """Closing the iterator mid-stream must unblock and retire every
+        worker thread even when the queue is full (each woken producer puts
+        a sentinel, which can re-fill the queue past capacity — a single
+        drain pass used to strand threads in put() forever)."""
+        import threading
+        import time
+
+        before = threading.active_count()
+        dm = DataModule(
+            DatasetRE10kCfg(root=data_root),
+            bounded_cfg(),
+            DataLoaderCfg(
+                train=DataLoaderStageCfg(batch_size=1, seed=0, num_workers=8)
+            ),
+        )
+        it = dm.train_dataloader()
+        next(it)  # pool is live; queue (maxsize 4) saturates behind us
+        time.sleep(0.2)
+        it.close()
+        deadline = time.time() + 10.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before, (
+            f"{threading.active_count() - before} loader threads leaked"
+        )
+
 
 class TestDatasetDispatch:
     def test_config_driven_re10k_non_iter(self, data_root):

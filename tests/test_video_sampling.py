@@ -95,6 +95,20 @@ class TestAnchoredSampling:
         )
         assert sorted(results.keys()) == tgt.index[:8].tolist()
 
+    def test_single_target_frame(self, tiny_engine):
+        """n_t == 1 leaves the strided anchor grid empty; the single frame
+        must become its own anchor rather than crash (anchor_pos fallback
+        in dispatch_anchored_many)."""
+        engine, unet_params, vae_params = tiny_engine
+        sampler = VideoSampler(engine, unet_params, vae_params)
+        ctx, tgt = make_scene(n_target=5)
+        results = sampler.sample_anchored(
+            ctx, tgt, jax.random.PRNGKey(0), limit_frames=1
+        )
+        assert sorted(results.keys()) == tgt.index[:1].tolist()
+        img = results[int(tgt.index[0])]
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
 
 class TestAutoregressiveSampling:
     def test_generates_every_frame(self, tiny_engine):
