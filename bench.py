@@ -57,6 +57,48 @@ NUM_STEPS = 25
 IMAGE_HW = 256
 
 
+def qualify_pallas_conv() -> bool:
+    """Self-qualify the gated Pallas VAE conv (ops/conv3x3.py) on the bench
+    chip and enable it for this run if it proves itself.
+
+    The kernel is interpret-validated but was never Mosaic-lowered on real
+    hardware in the build environment (dead TPU tunnel, TODO.md), so it
+    ships gated off. Running tools/qualify_pallas_conv.py as a SUBPROCESS
+    keeps a lowering failure, wrong numbers, or a regression isolated: any
+    outcome except {parity ok, measurably faster} leaves the numerically
+    identical XLA path in place and the benchmark standing. Qualification
+    status goes to stderr; the stdout one-JSON-line contract is untouched.
+    MVLDM_PALLAS_CONV=0/1 overrides (skip probing, force the named path)."""
+    import os
+    import subprocess
+    import sys
+
+    forced = os.environ.get("MVLDM_PALLAS_CONV")
+    if forced is not None:
+        return forced == "1"
+    if jax.default_backend() == "cpu":
+        return False
+    tool = Path(__file__).parent / "tools" / "qualify_pallas_conv.py"
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(tool)],
+            capture_output=True, text=True, timeout=1500,
+        )
+        verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"pallas-conv qualification skipped: {e}", file=sys.stderr)
+        return False
+    print(f"pallas-conv qualification: {verdict}", file=sys.stderr)
+    return bool(verdict.get("enable"))
+
+
+def maybe_enable_pallas_conv() -> None:
+    if qualify_pallas_conv():
+        from mvldm_tpu.ops import conv3x3
+
+        conv3x3.PALLAS_CONV_ENABLED = True
+
+
 def build_flagship(remat: bool = False):
     from mvldm_tpu.diffusion.engine import DiffusionEngine, ModelCfg, unet_in_channels
     from mvldm_tpu.diffusion.schedulers import DDIMScheduler, DDIMSchedulerKwargs
@@ -302,6 +344,7 @@ if __name__ == "__main__":
     import sys
 
     ar = "--autoregressive" in sys.argv[1:]
+    maybe_enable_pallas_conv()
     if "--train" in sys.argv[1:]:
         bench_train()
     elif "--scene-batch" in sys.argv[1:]:

@@ -147,6 +147,18 @@ def _conv3x3_xla(x: Array, w: Array, b: Array) -> Array:
     return (out + b.astype(jnp.float32)).astype(x.dtype)
 
 
+def _use_pallas(x_shape, cout: int, dtype) -> bool:
+    """Dispatch gate, separated so the qualification harness
+    (tools/qualify_pallas_conv.py) can exercise the Pallas branch in
+    interpret mode on CPU. Reads PALLAS_CONV_ENABLED dynamically: bench.py
+    flips it at runtime after on-chip qualification."""
+    return (
+        PALLAS_CONV_ENABLED
+        and jax.default_backend() not in ("cpu",)
+        and supported(x_shape, x_shape[-1], cout, dtype)
+    )
+
+
 @jax.custom_vjp
 def _conv_prim(x, w, b):
     # run_manual: under a published mesh the Pallas forward must live in a
@@ -155,11 +167,7 @@ def _conv_prim(x, w, b):
     # active. See parallel/tp.py.
     from ..parallel.tp import run_manual
 
-    if (
-        PALLAS_CONV_ENABLED
-        and jax.default_backend() not in ("cpu",)
-        and supported(x.shape, x.shape[-1], w.shape[-1], x.dtype)
-    ):
+    if _use_pallas(x.shape, w.shape[-1], x.dtype):
         fn = lambda x_, w_, b_: _conv3x3_pallas(x_, w_.astype(x_.dtype), b_)
     else:
         fn = _conv3x3_xla

@@ -141,3 +141,55 @@ class TestMesh:
                 got = jax.jit(conv3x3)(x, wt, b)
         want = _conv3x3_xla(x, wt, b)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestQualificationHarness:
+    @pytest.mark.slow
+    def test_tool_contract_interpret(self):
+        """tools/qualify_pallas_conv.py end to end on CPU (interpret-mode
+        Pallas): must print one JSON line with the fields bench.py's
+        maybe_enable_pallas_conv parses, and pass parity — "enable" is then
+        purely the speed verdict (never asserted here; interpret mode is
+        slower by construction)."""
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        tool = (
+            Path(__file__).resolve().parent.parent
+            / "tools" / "qualify_pallas_conv.py"
+        )
+        proc = subprocess.run(
+            [sys.executable, str(tool), "--interpret", "--tiny",
+             "--hw", "64", "--chain", "1"],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert verdict["ok"], verdict
+        # Parity must hold on CPU (interpret == same math): the kernel's
+        # deviation from the f32 ground truth stays at the bf16 XLA noise
+        # floor.
+        assert verdict["max_err"] <= max(
+            2.0 * verdict["noise_floor"], 1e-6
+        ), verdict
+        assert {"enable", "xla_s", "pallas_s", "speedup"} <= set(verdict)
+
+    def test_bench_skips_on_cpu(self, monkeypatch):
+        """bench.qualify_pallas_conv must not probe on the CPU backend and
+        must honor the MVLDM_PALLAS_CONV override without a subprocess."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        try:
+            import bench
+        finally:
+            sys.path.pop(0)
+        monkeypatch.delenv("MVLDM_PALLAS_CONV", raising=False)
+        assert bench.qualify_pallas_conv() is False  # cpu backend
+        monkeypatch.setenv("MVLDM_PALLAS_CONV", "1")
+        assert bench.qualify_pallas_conv() is True
+        monkeypatch.setenv("MVLDM_PALLAS_CONV", "0")
+        assert bench.qualify_pallas_conv() is False

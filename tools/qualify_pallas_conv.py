@@ -1,0 +1,179 @@
+"""On-chip qualification of the gated Pallas VAE conv (ops/conv3x3.py).
+
+The shifted-matmul conv kernel is numerically validated in interpret mode
+but has never lowered through Mosaic on real hardware in this environment
+(the TPU tunnel died before it could be; see TODO.md). Rather than ship it
+default-on unproven — or leave measured headroom (the 79 TF/s XLA decoder
+stage) on the table — ``bench.py`` runs THIS script as a subprocess on the
+bench chip and enables the kernel for the headline run only if it proves
+itself here, in isolation, where a Mosaic lowering failure cannot take the
+benchmark down.
+
+Qualification = one full VAE encode+decode roundtrip (every conv shape the
+flagship VAE will trace, in real composition) run both ways:
+
+* parity: the kernel's deviation from a float32-compute roundtrip (same
+  params) must stay within a small factor of the bf16 XLA path's own
+  deviation — a correct kernel differs from XLA only by summation order;
+* speed: a dependency-chained roundtrip loop (img -> encode -> mode ->
+  decode -> img), timed by transferring the final image sum — on the
+  tunneled chip completion acks are optimistic, but a transferred value
+  cannot exist before the chain ran — must be faster with the kernel.
+
+Prints ONE JSON line: {"ok": bool, "enable": bool, "max_err": float,
+"noise_floor": float, "xla_s": float, "pallas_s": float, "speedup": float,
+["reason": str]}.
+
+``--interpret`` runs the Pallas path in interpret mode (CPU-testable; used
+by tests/test_conv3x3.py to exercise this script's contract end to end;
+``--hw N --chain K`` shrink the workload there).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:  # run as a script: tools/ is sys.path[0]
+    sys.path.insert(0, str(_REPO))
+
+import os
+
+import jax
+
+# The baked sitecustomize re-pins the platform at interpreter startup; the
+# env var alone does not stick (see tests/conftest.py). Mirror it into the
+# live config so a CPU-forced subprocess actually runs on CPU while the
+# bench-chip invocation (JAX_PLATFORMS=axon) still reaches the TPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(_REPO / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+# Enabling must beat XLA by a real margin, not timer noise (run-to-run
+# variance on the tunneled chip is ~±3%).
+MIN_SPEEDUP = 1.03
+# Parity is judged against the bf16 noise floor, not an absolute guess: a
+# float32 roundtrip with the SAME params (flax stores params f32; only the
+# compute dtype differs) is the ground truth, and the kernel's deviation
+# from it may be at most this factor of the bf16 XLA path's own deviation.
+# A correct kernel differs from XLA only by summation order, so their
+# deviations are statistically equal; 2x catches real defects without
+# tripping on deep-network bf16 noise whatever its absolute size.
+MAX_ERR_RATIO = 2.0
+MAX_ABS_ERR = 0.25  # backstop against garbage if the noise floor itself is big
+
+
+def _arg(flag: str, default: int) -> int:
+    argv = sys.argv[1:]
+    return int(argv[argv.index(flag) + 1]) if flag in argv else default
+
+
+def build_vae(hw: int, tiny: bool = False):
+    from mvldm_tpu.models.vae import AutoencoderKL, AutoencoderKLCfg
+
+    # --tiny (test path only): one lane-aligned stage per resolution keeps
+    # the interpret-mode compile count small; qualification always runs the
+    # flagship SD2.1 VAE.
+    cfg = (
+        AutoencoderKLCfg(block_out_channels=(128, 128), layers_per_block=1)
+        if tiny
+        else AutoencoderKLCfg()
+    )
+    vae = AutoencoderKL(cfg, dtype=jnp.bfloat16)
+    vae32 = AutoencoderKL(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, hw, hw, 3), jnp.bfloat16)
+    params = jax.jit(vae.init)(rng, img, rng)["params"]
+    return vae, vae32, params
+
+
+def roundtrip_fn(vae, params):
+    """img -> encode -> mode latent -> decode, jitted; the qualification
+    workload (touches every conv shape of both the encoder and decoder)."""
+
+    @jax.jit
+    def f(img):
+        dist = vae.apply({"params": params}, img, method=vae.encode)
+        return vae.apply({"params": params}, dist.mode(), method=vae.decode)
+
+    return f
+
+
+def timed_chain(f, img, n: int) -> float:
+    # Warm-up (compile) then a dependent chain: each iteration's input is
+    # the previous output, and the boundary is a host transfer of the sum.
+    float(jnp.sum(f(img).astype(jnp.float32)))
+    t0 = time.perf_counter()
+    y = img
+    for _ in range(n):
+        y = f(y)
+    float(jnp.sum(y.astype(jnp.float32)))
+    return time.perf_counter() - t0
+
+
+def main() -> dict:
+    from mvldm_tpu.ops import conv3x3
+
+    hw = _arg("--hw", 256)
+    chain = _arg("--chain", 4)
+    if "--interpret" in sys.argv[1:]:
+        # CPU test path: route the Pallas branch through the interpreter.
+        orig = conv3x3._conv3x3_pallas
+        conv3x3._conv3x3_pallas = lambda x, w, b: orig(x, w, b, interpret=True)
+        conv3x3._use_pallas = lambda *a: conv3x3.PALLAS_CONV_ENABLED
+
+    vae, vae32, params = build_vae(hw, tiny="--tiny" in sys.argv[1:])
+    f = roundtrip_fn(vae, params)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(-1, 1, size=(1, hw, hw, 3)), jnp.bfloat16)
+
+    conv3x3.PALLAS_CONV_ENABLED = False
+    # Ground truth: same params, float32 compute (bf16 noise floor anchor).
+    ref32 = np.asarray(roundtrip_fn(vae32, params)(img.astype(jnp.float32)))
+    xla = np.asarray(f(img).astype(jnp.float32))
+    xla_s = timed_chain(f, img, chain)
+
+    # Fresh jit: the dispatch gate is baked into traces at trace time.
+    conv3x3.PALLAS_CONV_ENABLED = True
+    f2 = roundtrip_fn(vae, params)
+    out = np.asarray(f2(img).astype(jnp.float32))
+    pallas_s = timed_chain(f2, img, chain)
+
+    err_pallas = float(np.max(np.abs(out - ref32)))
+    err_xla = float(np.max(np.abs(xla - ref32)))
+    parity = err_pallas <= max(MAX_ERR_RATIO * err_xla, 1e-6)
+    speedup = xla_s / pallas_s if pallas_s > 0 else 0.0
+    record = {
+        "ok": True,
+        "max_err": round(err_pallas, 6),
+        "noise_floor": round(err_xla, 6),
+        "xla_s": round(xla_s, 4),
+        "pallas_s": round(pallas_s, 4),
+        "speedup": round(speedup, 4),
+        "enable": bool(
+            parity and err_pallas <= MAX_ABS_ERR and speedup >= MIN_SPEEDUP
+        ),
+    }
+    if not parity or err_pallas > MAX_ABS_ERR:
+        record["reason"] = "parity failure"
+    elif speedup < MIN_SPEEDUP:
+        record["reason"] = "no speedup"
+    return record
+
+
+if __name__ == "__main__":
+    try:
+        rec = main()
+    except Exception as e:  # Mosaic lowering failure, OOM, ... -> do not enable
+        rec = {"ok": False, "enable": False, "reason": f"{type(e).__name__}: {e}"}
+    print(json.dumps(rec))
