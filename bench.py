@@ -76,7 +76,13 @@ def qualify_pallas_conv() -> bool:
     forced = os.environ.get("MVLDM_PALLAS_CONV")
     if forced is not None:
         return forced == "1"
-    if jax.default_backend() == "cpu":
+    # Platform check WITHOUT jax.default_backend(): that would initialize
+    # the backend in this process before the subprocess runs, and parent
+    # and child would then contend for the single (tunneled) chip. Probe
+    # only when the env names a non-CPU platform; unknown -> conservative
+    # skip (the XLA conv path is the numerically identical default).
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if not plat or plat.startswith("cpu"):
         return False
     tool = Path(__file__).parent / "tools" / "qualify_pallas_conv.py"
     try:
