@@ -19,24 +19,48 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Async saves: ``StandardCheckpointer`` is an ``AsyncCheckpointer``, so
+    ``save()`` returns as soon as the write is scheduled (the state tree is
+    already host numpy at the call sites) and the multi-GB serialization
+    overlaps the next ~1000 train steps instead of stalling them. The
+    ``last.json`` pointer and top-k pruning for a step are FINALIZED only
+    after its write commits — on the next ``save()`` or an explicit
+    ``flush()`` — so a crash mid-write can never leave ``last.json``
+    pointing at a torn checkpoint (orbax writes the step dir atomically via
+    a tmp dir + rename; ``latest_step`` additionally falls back past the
+    pointer if the dir is gone)."""
+
     def __init__(self, directory: Path, save_top_k: int = 1):
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.save_top_k = save_top_k
         self._ckpt = ocp.StandardCheckpointer()
+        self._pending: Optional[int] = None
 
     def _step_dir(self, step: int) -> Path:
         return self.directory / f"step_{step:09d}"
 
     def save(self, step: int, state: Dict[str, Any]) -> Path:
         path = self._step_dir(step)
+        self.flush()  # previous write committed + finalized
         if path.exists():
             shutil.rmtree(path)
         self._ckpt.save(path.absolute(), state)
-        self._ckpt.wait_until_finished()
-        (self.directory / "last.json").write_text(json.dumps({"step": step}))
-        self._prune()
+        self._pending = step
         return path
+
+    def flush(self) -> None:
+        """Block until the in-flight save (if any) commits, then publish its
+        ``last.json`` pointer and prune. Call at end of training / before
+        restore."""
+        self._ckpt.wait_until_finished()
+        if self._pending is None:
+            return
+        (self.directory / "last.json").write_text(
+            json.dumps({"step": self._pending})
+        )
+        self._pending = None
+        self._prune()
 
     def _prune(self) -> None:
         steps = sorted(self.all_steps())
@@ -46,13 +70,20 @@ class CheckpointManager:
             shutil.rmtree(self._step_dir(step), ignore_errors=True)
 
     def all_steps(self):
-        return [
-            int(p.name.split("_")[1])
-            for p in self.directory.glob("step_*")
-            if p.is_dir()
-        ]
+        # A crash mid-write leaves an orbax tmp dir (step_X.orbax-checkpoint-
+        # tmp-...) that matches the glob; skip anything whose suffix is not a
+        # bare step number so resume never trips over a torn checkpoint.
+        steps = []
+        for p in self.directory.glob("step_*"):
+            if not p.is_dir():
+                continue
+            suffix = p.name.split("_", 1)[1]
+            if suffix.isdigit():
+                steps.append(int(suffix))
+        return steps
 
     def latest_step(self) -> Optional[int]:
+        self.flush()  # an in-flight save from this process counts
         last = self.directory / "last.json"
         if last.exists():
             step = json.loads(last.read_text())["step"]
@@ -62,6 +93,7 @@ class CheckpointManager:
         return max(steps) if steps else None
 
     def restore(self, step: int, target: Dict[str, Any]) -> Dict[str, Any]:
+        self.flush()
         return self._ckpt.restore(self._step_dir(step).absolute(), target=target)
 
     def restore_partial(self, step: int, target: Dict[str, Any]) -> Dict[str, Any]:
@@ -69,6 +101,7 @@ class CheckpointManager:
         holds a larger tree (e.g. the params/ema_params subtree of a full
         TrainState save) — eval loads weights without materializing optimizer
         moments."""
+        self.flush()
         ckpt = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
         return ckpt.restore(
             self._step_dir(step).absolute(),

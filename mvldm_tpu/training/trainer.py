@@ -333,4 +333,5 @@ class Trainer:
                 self.val_hook(state, new_step)
         if profiling:
             jax.profiler.stop_trace()
+        self.ckpt.flush()  # commit + publish the final async save
         return state

@@ -293,8 +293,39 @@ class TestCheckpoint:
         mgr = CheckpointManager(tmp_path / "ckpts", save_top_k=1)
         for step in (1, 2, 3):
             mgr.save(step, {"x": np.asarray(step)})
+        mgr.flush()  # commit + finalize the in-flight step-3 save
         assert mgr.all_steps() == [3]
         assert mgr.latest_step() == 3
+
+    def test_torn_tmp_dir_does_not_break_resume(self, tmp_path):
+        """A crash mid-write leaves an orbax tmp dir matching the step_*
+        glob; all_steps/latest_step must skip it rather than crash on int
+        parsing."""
+        mgr = CheckpointManager(tmp_path / "ckpts")
+        mgr.save(5, {"x": np.asarray(5)})
+        mgr.flush()
+        torn = tmp_path / "ckpts" / "step_000000006.orbax-checkpoint-tmp-123"
+        torn.mkdir()
+        assert mgr.all_steps() == [5]
+        assert mgr.latest_step() == 5
+
+    def test_async_save_defers_last_pointer(self, tmp_path):
+        """Saves are async: the ``last.json`` pointer for a step must not be
+        published until its write has committed (next save or flush), so a
+        crash mid-write can never point auto-resume at a torn checkpoint."""
+        import json
+
+        mgr = CheckpointManager(tmp_path / "ckpts", save_top_k=2)
+        last = tmp_path / "ckpts" / "last.json"
+        mgr.save(1, {"x": np.asarray(1)})
+        assert not last.exists()  # step-1 write not finalized yet
+        mgr.save(2, {"x": np.asarray(2)})
+        # Entering save(2) committed + finalized step 1.
+        assert json.loads(last.read_text())["step"] == 1
+        mgr.flush()
+        assert json.loads(last.read_text())["step"] == 2
+        restored = mgr.restore(2, {"x": np.asarray(0)})
+        np.testing.assert_array_equal(restored["x"], 2)
 
 
 class TestEMAWithAccumulation:
