@@ -78,11 +78,23 @@ def qualify_pallas_conv() -> bool:
         return forced == "1"
     # Platform check WITHOUT jax.default_backend(): that would initialize
     # the backend in this process before the subprocess runs, and parent
-    # and child would then contend for the single (tunneled) chip. Probe
-    # only when the env names a non-CPU platform; unknown -> conservative
-    # skip (the XLA conv path is the numerically identical default).
+    # and child would then contend for the single (tunneled) chip. The env
+    # var answers when set; when unset (standard TPU VMs autodetect the
+    # backend) a throwaway subprocess discovers it so qualification is not
+    # silently inert there.
     plat = os.environ.get("JAX_PLATFORMS", "")
-    if not plat or plat.startswith("cpu"):
+    if not plat:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=300,
+            )
+            plat = probe.stdout.strip().splitlines()[-1]
+        except Exception as e:
+            print(f"pallas-conv backend probe failed: {e}", file=sys.stderr)
+            return False
+    if plat.startswith("cpu"):
         return False
     tool = Path(__file__).parent / "tools" / "qualify_pallas_conv.py"
     try:

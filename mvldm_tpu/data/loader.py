@@ -115,31 +115,57 @@ class PrefetchIterator:
         except Exception as e:  # surface worker errors to the consumer
             self._put(e)
         finally:
-            close = getattr(source, "close", None)
-            if close is not None:
-                close()
-            self._put(self._SENTINEL)
+            try:
+                close = getattr(source, "close", None)
+                if close is not None:
+                    close()
+            except Exception as e:  # teardown error: surface, don't hang
+                self._put(e)
+            finally:
+                # Unconditional: a consumer blocked in __next__ must always
+                # see either an item, an error, or the sentinel.
+                self._put(self._SENTINEL)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self._queue.get()
-        if item is self._SENTINEL:
-            raise StopIteration
-        if isinstance(item, Exception):
-            raise item
-        return item
+        while True:
+            if self._stop.is_set():  # closed: never block on a dead queue
+                raise StopIteration
+            try:
+                item = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if item is self._SENTINEL:
+                raise StopIteration
+            if isinstance(item, Exception):
+                raise item
+            return item
 
-    def close(self) -> None:
-        """Stop the prefetch thread and close the source pipeline."""
+    def close(self, timeout: Optional[float] = None) -> None:
+        """Stop the prefetch thread and close the source pipeline.
+        Idempotent; a consumer blocked in ``__next__`` (even on another
+        thread) unblocks with StopIteration. ``timeout`` bounds the wait for
+        the worker to retire (None = wait indefinitely)."""
+        import time as _time
+
         self._stop.set()
+        deadline = None if timeout is None else _time.monotonic() + timeout
         while self._thread.is_alive():
+            if deadline is not None and _time.monotonic() > deadline:
+                return
             try:  # drain so a pending put() observes the stop quickly
                 self._queue.get_nowait()
             except queue.Empty:
                 pass
             self._thread.join(timeout=0.05)
+
+    def __del__(self):  # GC backstop for consumers that break out of loops
+        try:
+            self.close(timeout=5.0)
+        except Exception:
+            pass
 
 
 class DataModule:

@@ -306,8 +306,8 @@ def _run_test_scene_batched(
     if mesh is not None:
         print(f"scene_batch={scene_batch} sharded over {n_dev} devices")
 
-    def export_batch(entries, pending) -> None:
-        results = VideoSampler.gather_many(pending, scene_batch)
+    def export_batch(entries, pending, size) -> None:
+        results = VideoSampler.gather_many(pending, size)
         for (scene_dir, ctx), frames in zip(entries, results):
             for index, image in frames.items():
                 save_image(image, scene_dir / "color" / f"{index:0>6}.png")
@@ -328,7 +328,21 @@ def _run_test_scene_batched(
 
     def flush(bucket) -> None:
         nonlocal in_flight, fold
-        padded = bucket + [bucket[-1]] * (scene_batch - len(bucket))
+        # Partial buckets (backlog relief, final drain) pad only to the next
+        # power of two (rounded to the mesh's data-axis divisibility), not to
+        # scene_batch: with many distinct target counts in flight (CO3D
+        # without test.limit_frames) every flush is a small bucket, and
+        # always padding to scene_batch would sample scene_batch-1 duplicate
+        # scenes per dispatch in steady state. Power-of-two quantization
+        # bounds the extra launch-shape compilations to log2(scene_batch).
+        size = 1
+        while size < len(bucket):
+            size *= 2
+        if mesh is not None:
+            nd = mesh.shape["data"]
+            size = ((size + nd - 1) // nd) * nd
+        size = min(size, scene_batch)
+        padded = bucket + [bucket[-1]] * (size - len(bucket))
         pending = dispatch_many(
             [(c, t) for _, c, t in padded],
             jax.random.fold_in(rng, fold),
@@ -339,7 +353,7 @@ def _run_test_scene_batched(
         # One-batch-deep pipeline: PNG-export batch N-1 while N computes.
         if in_flight is not None:
             export_batch(*in_flight)
-        in_flight = ([(sd, c) for sd, c, _ in bucket], pending)
+        in_flight = ([(sd, c) for sd, c, _ in bucket], pending, size)
 
     for n, batch_np in enumerate(dm.test_dataloader()):
         if limit is not None and n >= limit:

@@ -83,14 +83,21 @@ class CheckpointManager:
         return steps
 
     def latest_step(self) -> Optional[int]:
+        """Newest fully-committed step. Orbax renames the step dir into
+        place atomically only after the write completes (and ``all_steps``
+        filters tmp dirs), so every named dir is durable — a crash between
+        a commit and its ``flush()`` leaves ``last.json`` stale, and the
+        directory scan, not the pointer, is authoritative."""
         self.flush()  # an in-flight save from this process counts
-        last = self.directory / "last.json"
+        steps = self.all_steps()
+        if steps:
+            return max(steps)
+        last = self.directory / "last.json"  # vestigial fallback
         if last.exists():
             step = json.loads(last.read_text())["step"]
             if self._step_dir(step).exists():
                 return step
-        steps = self.all_steps()
-        return max(steps) if steps else None
+        return None
 
     def restore(self, step: int, target: Dict[str, Any]) -> Dict[str, Any]:
         self.flush()

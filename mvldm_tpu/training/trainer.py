@@ -270,6 +270,19 @@ class Trainer:
             end_step = min(end_step, start_step + self.task_steps)
 
         loader = self.data_module.train_dataloader()
+        try:
+            return self._fit_loop(state, rng, loader, start_step, end_step)
+        finally:
+            # Retire the prefetch + decode threads (the train loader is
+            # infinite; the loop always exits via break) and commit +
+            # publish the final async checkpoint even on an exception.
+            loader.close()
+            self.ckpt.flush()
+
+    def _fit_loop(
+        self, state: TrainState, rng: jax.Array, loader, start_step: int,
+        end_step: int,
+    ) -> TrainState:
         t0 = time.perf_counter()
         window = 0
         # Optional profiler capture of a few warm steps (the reference has no
@@ -333,5 +346,4 @@ class Trainer:
                 self.val_hook(state, new_step)
         if profiling:
             jax.profiler.stop_trace()
-        self.ckpt.flush()  # commit + publish the final async save
         return state

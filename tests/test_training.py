@@ -297,6 +297,24 @@ class TestCheckpoint:
         assert mgr.all_steps() == [3]
         assert mgr.latest_step() == 3
 
+    def test_stale_pointer_prefers_newer_committed_dir(self, tmp_path):
+        """Crash between an async write's commit and its flush leaves
+        last.json pointing one save back; resume must take the newest
+        committed dir (the scan is authoritative), not lose up to
+        checkpoint_every steps of work."""
+        import json
+
+        mgr = CheckpointManager(tmp_path / "ckpts", save_top_k=2)
+        mgr.save(5, {"x": np.asarray(5)})
+        mgr.flush()
+        mgr.save(6, {"x": np.asarray(6)})
+        mgr._ckpt.wait_until_finished()  # committed, but NOT finalized
+        assert json.loads((tmp_path / "ckpts" / "last.json").read_text())[
+            "step"
+        ] == 5
+        fresh = CheckpointManager(tmp_path / "ckpts")  # "new process"
+        assert fresh.latest_step() == 6
+
     def test_torn_tmp_dir_does_not_break_resume(self, tmp_path):
         """A crash mid-write leaves an orbax tmp dir matching the step_*
         glob; all_steps/latest_step must skip it rather than crash on int

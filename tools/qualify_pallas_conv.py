@@ -109,16 +109,23 @@ def roundtrip_fn(vae, params):
     return f
 
 
-def timed_chain(f, img, n: int) -> float:
+def timed_chain(f, img, n: int, repeats: int = 3) -> float:
     # Warm-up (compile) then a dependent chain: each iteration's input is
     # the previous output, and the boundary is a host transfer of the sum.
+    # Min over repeats: single measurements carry the same ~±3% run-to-run
+    # noise as MIN_SPEEDUP itself, which would let the enable verdict flip
+    # on noise; the min is the standard robust estimator for lower-bounded
+    # timing distributions.
     float(jnp.sum(f(img).astype(jnp.float32)))
-    t0 = time.perf_counter()
-    y = img
-    for _ in range(n):
-        y = f(y)
-    float(jnp.sum(y.astype(jnp.float32)))
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        y = img
+        for _ in range(n):
+            y = f(y)
+        float(jnp.sum(y.astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> dict:
