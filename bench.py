@@ -172,6 +172,33 @@ def make_scene(n_frames: int):
     return ctx, tgt
 
 
+def make_train_batch(b: int, v: int = 5):
+    """Synthetic flagship training batch (2 context + v-2 target views at
+    256px, forward-translating cameras) — the single source of truth for
+    the train-bench shape, shared with tools/bench_train_ablate.py so the
+    headline bench and the ablation probes cannot desynchronize."""
+    from mvldm_tpu.diffusion.engine import Batch
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(size=(b, v, IMAGE_HW, IMAGE_HW, 3)), jnp.float32
+    )
+    extr = np.repeat(
+        np.repeat(np.eye(4, dtype=np.float32)[None], v, axis=0)[None], b,
+        axis=0,
+    )
+    extr = jnp.asarray(extr).at[:, :, 0, 3].set(jnp.linspace(0, 1, v)[None])
+    intr = np.repeat(
+        np.repeat(np.eye(3, dtype=np.float32)[None], v, axis=0)[None], b,
+        axis=0,
+    )
+    intr = jnp.asarray(intr).at[:, :, 0, 2].set(0.5).at[:, :, 1, 2].set(0.5)
+    return Batch(
+        images=images, extrinsics=extr, intrinsics=intr,
+        is_target=jnp.asarray([[False, False] + [True] * (v - 2)] * b),
+    )
+
+
 def bench_train() -> None:
     """``python bench.py --train``: flagship single-chip training throughput
     (batch 1, 2 ctx + 3 tgt views, 256px, block remat + bf16 first moment —
@@ -179,7 +206,6 @@ def bench_train() -> None:
     steps/s plus achieved model TF/s and MFU from the compiled step's own
     XLA flop count."""
     from mvldm_tpu.config import OptimizerCfg
-    from mvldm_tpu.diffusion.engine import Batch
     from mvldm_tpu.training.optim import build_lr_schedule, build_optimizer
     from mvldm_tpu.training.trainer import TrainState, make_train_step
 
@@ -197,25 +223,7 @@ def bench_train() -> None:
     )
     step_fn = make_train_step(engine, tx, vae_params, num_context_views=2)
 
-    rng = np.random.default_rng(0)
-    v = 5
-    images = jnp.asarray(
-        rng.uniform(size=(b, v, IMAGE_HW, IMAGE_HW, 3)), jnp.float32
-    )
-    extr = np.repeat(
-        np.repeat(np.eye(4, dtype=np.float32)[None], v, axis=0)[None], b,
-        axis=0,
-    )
-    extr = jnp.asarray(extr).at[:, :, 0, 3].set(jnp.linspace(0, 1, v)[None])
-    intr = np.repeat(
-        np.repeat(np.eye(3, dtype=np.float32)[None], v, axis=0)[None], b,
-        axis=0,
-    )
-    intr = jnp.asarray(intr).at[:, :, 0, 2].set(0.5).at[:, :, 1, 2].set(0.5)
-    batch = Batch(
-        images=images, extrinsics=extr, intrinsics=intr,
-        is_target=jnp.asarray([[False, False, True, True, True]] * b),
-    )
+    batch = make_train_batch(b)
     state = TrainState(
         params=unet_params,
         opt_state=tx.init(unet_params),

@@ -244,23 +244,41 @@ class DataModule:
         worker processes (``config/main.yaml:44-57``), viable in-process
         because PIL's JPEG decode and LANCZOS resize release the GIL. Each
         worker draws an independent seeded stream, exactly like the
-        reference's per-worker seeding (``data_module.py:53``)."""
-        out: "queue.Queue" = queue.Queue(maxsize=4 * cfg.batch_size)
+        reference's per-worker seeding (``data_module.py:53``).
+
+        Workers decode ahead into per-worker bounded queues and the consumer
+        merges them ROUND-ROBIN, so with ``cfg.seed`` set the example order
+        (and therefore every collated batch) is a pure function of the seed
+        — thread scheduling cannot reorder it. A free-running shared-queue
+        merge would be marginally more elastic to decode-time variance, but
+        it makes seeded runs non-reproducible; the torch reference's seeded
+        DataLoader is likewise order-deterministic across workers."""
+        qs = [queue.Queue(maxsize=2) for _ in range(num_workers)]
         stop = threading.Event()
         _SENTINEL = object()
 
+        def put(q: "queue.Queue", item) -> bool:
+            """Stop-aware bounded put; False once stopped."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker(widx: int):
+            q = qs[widx]
             seed = None if cfg.seed is None else cfg.seed + 7919 * widx
             try:
                 while not stop.is_set():
                     for example in self._dataset("train", seed):
-                        if stop.is_set():
+                        if not put(q, example):
                             return
-                        out.put(example)
             except Exception as e:
-                out.put(e)
+                put(q, e)
             finally:
-                out.put(_SENTINEL)
+                put(q, _SENTINEL)
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -268,26 +286,32 @@ class DataModule:
         ]
         for t in threads:
             t.start()
-        live = num_workers
+        alive = list(range(num_workers))
         try:
-            while live:
-                item = out.get()
+            i = 0
+            while alive:
+                idx = i % len(alive)
+                item = qs[alive[idx]].get()
                 if item is _SENTINEL:
-                    live -= 1
+                    # Train streams repeat forever; a sentinel means the
+                    # worker errored (exception already consumed) or was
+                    # stopped. Drop it from the rotation deterministically.
+                    alive.pop(idx)
+                    i = idx
                     continue
                 if isinstance(item, Exception):
                     raise item
                 yield item
+                i = idx + 1
         finally:
             stop.set()
-            # Unblock producers stuck on a full queue: a single drain is not
-            # enough (every woken worker immediately puts its sentinel, which
-            # can refill the queue past capacity and re-strand threads), so
-            # keep draining until every worker has exited.
-            for t in threads:
+            # Unblock producers stuck on a full queue: keep draining every
+            # queue until its worker has exited (a single drain pass could
+            # re-strand a woken worker behind its own sentinel).
+            for w, t in enumerate(threads):
                 while t.is_alive():
                     try:
-                        out.get(timeout=0.1)
+                        qs[w].get(timeout=0.1)
                     except queue.Empty:
                         pass
                     t.join(timeout=0.01)

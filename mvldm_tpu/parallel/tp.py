@@ -86,6 +86,23 @@ def published_mesh(mesh: Optional[Mesh]):
 
 
 @contextmanager
+def trace_meshes(active: Optional[Mesh], model: Optional[Mesh]):
+    """Scoped publication of BOTH trace-time meshes (the Pallas shard_map
+    mesh and the joint-attention head-sharding mesh) around a jitted call
+    whose traces must see them. Restoring on exit keeps the globals from
+    leaking into later traces in the same process — e.g. the in-training
+    validation hook's sampling jits, which must NOT inherit the train
+    step's mesh (they publish their own via :func:`published_mesh`)."""
+    global _ACTIVE_MESH, _MODEL_MESH
+    prev_active, prev_model = _ACTIVE_MESH, _MODEL_MESH
+    _ACTIVE_MESH, _MODEL_MESH = active, model
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH, _MODEL_MESH = prev_active, prev_model
+
+
+@contextmanager
 def manual_region():
     """Marks a shard_map body trace: ops called inside must NOT re-wrap
     themselves (nested shard_map over the same mesh is illegal). Tracing is

@@ -296,7 +296,10 @@ def _run_test_scene_batched(
     reference counterpart (the reference distributes eval only
     process-per-GPU via Lightning DDP). Scenes bucket by target count so
     every dispatch is shape-uniform; ragged final buckets pad by repeating
-    the last scene (padded rows dropped at export)."""
+    the last scene (padded rows dropped at export). At ``scene_batch=1``
+    this IS the single-scene path: every scene flushes immediately and the
+    pipeline is one scene deep (dispatch N, export N-1), matching the
+    reference's sequential ``test_step`` -> save loop but overlapped."""
     n_dev = jax.local_device_count()
     mesh = (
         make_mesh(num_data=n_dev, devices=jax.local_devices())
@@ -410,53 +413,12 @@ def run_test(cfg: RootCfg) -> None:
 
     limit = cfg.trainer.limit_test_batches
     scene_batch = max(1, cfg.test.scene_batch)
-    if scene_batch > 1:
-        _run_test_scene_batched(
-            cfg, sampler, dm, output_dir, rng, scene_batch, limit, mode
-        )
-    else:
-        dispatch = (
-            sampler.dispatch_anchored
-            if mode == "anchored"
-            else sampler.dispatch_autoregressive
-        )
-
-        def export(scene_dir: Path, ctx, pending) -> None:
-            results = sampler.gather(pending)
-            for index, image in results.items():
-                save_image(image, scene_dir / "color" / f"{index:0>6}.png")
-            for i, index in enumerate(ctx.index.tolist()):
-                save_image(
-                    ctx.images[i], scene_dir / "context" / f"{index:0>6}.png"
-                )
-
-        # One-scene-deep pipeline: dispatch scene N (async device work),
-        # then gather + PNG-export scene N-1 while N computes. The reference
-        # processes scenes strictly sequentially (test_step -> save loops).
-        in_flight = None
-        for n, batch_np in enumerate(dm.test_dataloader()):
-            if limit is not None and n >= limit:
-                break
-            scene = batch_np["scene"][0]
-            scene_dir = output_dir / scene
-            if (scene_dir / "color").exists():
-                print(f"Skipping {scene} (already sampled)")
-                continue
-            ctx = scene_views_from_batch(batch_np, "context")
-            tgt = scene_views_from_batch(batch_np, "target")
-            print(
-                f"scene = {scene}; context = {ctx.index.tolist()}; "
-                f"targets = {len(tgt.index)}"
-            )
-            pending = dispatch(
-                ctx, tgt, jax.random.fold_in(rng, n),
-                limit_frames=cfg.test.limit_frames,
-            )
-            if in_flight is not None:
-                export(*in_flight)
-            in_flight = (scene_dir, ctx, pending)
-        if in_flight is not None:
-            export(*in_flight)
+    # scene_batch=1 degenerates to the one-scene-deep dispatch/export
+    # pipeline (dispatch_*_many is documented bit-for-bit equal to the
+    # single-scene dispatch at S=1), so both modes share one pipeline.
+    _run_test_scene_batched(
+        cfg, sampler, dm, output_dir, rng, scene_batch, limit, mode
+    )
 
     # Export GIF/MP4 per scene (reference on_test_end:1069-1088).
     for scene_dir in sorted(output_dir.iterdir()):

@@ -160,19 +160,11 @@ def make_train_step(
     # build the sharding lazily per call-structure via a wrapper.
     jitted = {}
 
+    from ..parallel.tp import trace_meshes
+
     def dispatch(state: TrainState, batch: Batch, rng):
         key = state.ema_params is not None
         if key not in jitted:
-            # Publish (or clear) the TP mesh so THIS step's trace of the
-            # joint cross-view attention picks the intended sharding —
-            # trace-time context, read in models/mv_attention.py. The
-            # active mesh additionally routes every Pallas-backed op
-            # through an explicit shard_map (required for multi-device
-            # lowering of Mosaic kernels; parallel/tp.run_manual).
-            from ..parallel.tp import set_active_mesh, set_model_mesh
-
-            set_model_mesh(mesh if shard_model_axis else None)
-            set_active_mesh(mesh)
             sh = state_shardings(key)
             jitted[key] = jax.jit(
                 train_step,
@@ -180,7 +172,15 @@ def make_train_step(
                 out_shardings=(sh, repl),
                 donate_argnums=donate_argnums,
             )
-        return jitted[key](state, batch, rng)
+        # Publish the TP mesh (head sharding of the joint cross-view
+        # attention, read at trace time in models/mv_attention.py) and the
+        # active mesh (routes every Pallas-backed op through an explicit
+        # shard_map — required for multi-device lowering of Mosaic kernels;
+        # parallel/tp.run_manual) SCOPED around the call, so the step's
+        # traces — first call and any retrace — see them but later traces
+        # in the process (validation-hook sampling) do not.
+        with trace_meshes(mesh, mesh if shard_model_axis else None):
+            return jitted[key](state, batch, rng)
 
     return dispatch
 
@@ -273,11 +273,15 @@ class Trainer:
         try:
             return self._fit_loop(state, rng, loader, start_step, end_step)
         finally:
-            # Retire the prefetch + decode threads (the train loader is
-            # infinite; the loop always exits via break) and commit +
-            # publish the final async checkpoint even on an exception.
-            loader.close()
+            # Commit + publish the final async checkpoint even on an
+            # exception (first: it is the durable side effect), then retire
+            # the prefetch + decode threads (the train loader is infinite;
+            # the loop always exits via break). The teardown wait is
+            # bounded: a decode thread wedged in blocking chunk I/O
+            # (stalled NFS read) must not hold fit() hostage; daemon
+            # threads die with the process.
             self.ckpt.flush()
+            loader.close(timeout=60.0)
 
     def _fit_loop(
         self, state: TrainState, rng: jax.Array, loader, start_step: int,

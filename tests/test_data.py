@@ -197,6 +197,40 @@ class TestDataModule:
             scenes.update(batch["scene"])
         assert len(scenes) == 2  # both synthetic scenes appear
 
+    def test_decode_pool_is_seed_deterministic(self, data_root):
+        """Seeded runs must reproduce batch-for-batch with num_workers > 1:
+        workers decode ahead in parallel but the consumer merges them
+        round-robin, so batch composition is a pure function of the seed,
+        not of thread scheduling (the torch reference's seeded DataLoader
+        is likewise order-deterministic across its worker processes)."""
+
+        def take(n):
+            dm = DataModule(
+                DatasetRE10kCfg(root=data_root),
+                bounded_cfg(),
+                DataLoaderCfg(
+                    train=DataLoaderStageCfg(
+                        batch_size=2, seed=7, num_workers=4
+                    )
+                ),
+            )
+            it = dm.train_dataloader()
+            batches = [next(it) for _ in range(n)]
+            it.close()
+            return batches
+
+        for a, b in zip(take(6), take(6)):
+            assert a["scene"] == b["scene"]
+            np.testing.assert_array_equal(
+                a["context"]["index"], b["context"]["index"]
+            )
+            np.testing.assert_array_equal(
+                a["target"]["index"], b["target"]["index"]
+            )
+            np.testing.assert_array_equal(
+                a["context"]["image"], b["context"]["image"]
+            )
+
     def test_decode_pool_teardown_releases_workers(self, data_root):
         """Closing the iterator mid-stream must unblock and retire every
         worker thread even when the queue is full (each woken producer puts

@@ -140,6 +140,13 @@ class TestShardedTrainStep:
         new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss/diffusion"]))
         assert int(new_state.step) == 1
+        # The dispatch publishes its meshes SCOPED around the call: they
+        # must not leak into later traces in the process (e.g. the
+        # validation hook's single-device sampling jits).
+        from mvldm_tpu.parallel import tp
+
+        assert tp.get_active_mesh() is None
+        assert tp.get_model_mesh() is None
 
 
 class TestZero1Sharding:

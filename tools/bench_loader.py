@@ -11,12 +11,23 @@ per chip, with >=2x headroom preferred. Run:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+# Host-side input-pipeline bench: devices are irrelevant, so force the CPU
+# backend. The env var alone is not enough here — a sitecustomize may pin an
+# accelerator platform in the live jax config (and initializing a tunneled
+# backend can hang when the tunnel is down); both must point at cpu before
+# the DataModule's first jax.process_index() call.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> None:

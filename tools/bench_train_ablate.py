@@ -48,28 +48,11 @@ def _setup_jax():
 
 
 def make_batch(b: int, v: int = 5):
+    # Single source of truth for the flagship train-bench shape lives in
+    # bench.py; the probes must measure exactly what the headline measures.
     import bench
-    import jax.numpy as jnp
-    import numpy as np
-    from mvldm_tpu.diffusion.engine import Batch
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.uniform(size=(b, v, bench.IMAGE_HW, bench.IMAGE_HW, 3)),
-        jnp.float32,
-    )
-    extr = np.repeat(
-        np.repeat(np.eye(4, dtype=np.float32)[None], v, axis=0)[None], b, 0
-    )
-    extr = jnp.asarray(extr).at[:, :, 0, 3].set(jnp.linspace(0, 1, v)[None])
-    intr = np.repeat(
-        np.repeat(np.eye(3, dtype=np.float32)[None], v, axis=0)[None], b, 0
-    )
-    intr = jnp.asarray(intr).at[:, :, 0, 2].set(0.5).at[:, :, 1, 2].set(0.5)
-    return Batch(
-        images=images, extrinsics=extr, intrinsics=intr,
-        is_target=jnp.asarray([[False, False, True, True, True]] * b),
-    )
+    return bench.make_train_batch(b, v)
 
 
 def timed(fn, *args, n=8) -> float:
