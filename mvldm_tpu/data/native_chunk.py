@@ -103,15 +103,23 @@ def load_chunk_native(path: Path) -> List[Dict[str, Any]]:
             cam_ptr = lib.mvldm_scene_cameras(
                 handle, i, ctypes.byref(rows), ctypes.byref(cols)
             )
-            cameras = np.ctypeslib.as_array(
-                cam_ptr, shape=(rows.value, cols.value)
-            ).copy()
+            # Zero-size guards: ctypeslib.as_array rejects the NULL pointer
+            # an empty std::vector's data() may legally return.
+            cameras = (
+                np.ctypeslib.as_array(
+                    cam_ptr, shape=(rows.value, cols.value)
+                ).copy()
+                if rows.value * cols.value
+                else np.zeros((rows.value, cols.value), np.float32)
+            )
             images = []
             for j in range(lib.mvldm_scene_num_images(handle, i)):
                 nbytes = ctypes.c_long()
                 ptr = lib.mvldm_scene_image(handle, i, j, ctypes.byref(nbytes))
                 images.append(
                     np.ctypeslib.as_array(ptr, shape=(nbytes.value,)).copy()
+                    if nbytes.value
+                    else np.zeros((0,), np.uint8)
                 )
             out.append(
                 {

@@ -130,8 +130,8 @@ std::vector<ZipEntry> parse_zip(const std::vector<uint8_t>& buf) {
 
 // --------------------------------------------------------------- pickle VM
 
-enum class Kind { None, Bool, Int, Str, List, Dict, Tuple, Global, Storage,
-                  Tensor, Mark };
+enum class Kind { None, Bool, Int, Float, Str, List, Dict, Tuple, Global,
+                  Storage, Tensor, Mark };
 
 struct Value;
 using ValuePtr = std::shared_ptr<Value>;
@@ -140,6 +140,7 @@ struct Value {
   Kind kind = Kind::None;
   bool b = false;
   int64_t i = 0;
+  double f = 0;
   std::string s;                                   // Str / Global name
   std::vector<ValuePtr> items;                     // List / Tuple
   std::vector<std::pair<ValuePtr, ValuePtr>> kv;   // Dict
@@ -238,6 +239,30 @@ ValuePtr run_pickle(const uint8_t* data, size_t len) {
         for (int j = (int)k - 1; j >= 0; --j) val = (val << 8) | q[j];
         if (k && (q[k - 1] & 0x80)) val -= (int64_t)1 << (8 * k);
         auto v = mk(Kind::Int); v->i = val; stack.push_back(v); break;
+      }
+      case 'G': {                                                // BINFLOAT
+        // Big-endian IEEE double. Floats never participate in the
+        // key/cameras/images extraction, but real-world chunks may carry
+        // float metadata (fps, timestamps-as-seconds); parse rather than
+        // punting the whole chunk to the torch fallback.
+        const uint8_t* b = r.take(8);
+        uint64_t u = 0;
+        for (int k = 0; k < 8; k++) u = (u << 8) | b[k];
+        auto v = mk(Kind::Float);
+        memcpy(&v->f, &u, 8);
+        stack.push_back(v); break;
+      }
+      case 'B': {                                                // BINBYTES
+        uint32_t k = rd32(r.take(4));
+        auto v = mk(Kind::Str);
+        v->s.assign((const char*)r.take(k), k);
+        stack.push_back(v); break;
+      }
+      case 'C': {                                                // SHORT_BINBYTES
+        uint8_t k = r.u8();
+        auto v = mk(Kind::Str);
+        v->s.assign((const char*)r.take(k), k);
+        stack.push_back(v); break;
       }
       case 'X': {                                                // BINUNICODE
         uint32_t k = rd32(r.take(4));

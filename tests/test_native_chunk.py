@@ -114,6 +114,113 @@ class TestNativeDecoder:
         with pytest.raises(Exception):
             chunk_reader.load_chunk(bad)
 
+    def test_fuzz_parity_with_torch(self, tmp_path):
+        """Seeded randomized round-trip: RE10K-shaped chunks with arbitrary
+        extra metadata (floats, bytes, big/negative ints, long unicode,
+        nested containers, tensors of every storage dtype, SHARED tensors
+        exercising pickle memoization) across pickle protocols 2-5 must
+        decode identically to torch.load. Extras are ignored by the
+        extractor but still parsed by the pickle VM."""
+        import torch
+
+        from mvldm_tpu.data.native_chunk import load_chunk_native
+
+        def extras(rng, torch):
+            shared = torch.from_numpy(
+                rng.standard_normal((3, 4)).astype(np.float32)
+            )
+            pool = [
+                None,
+                True,
+                False,
+                int(rng.integers(0, 255)),           # BININT1
+                int(rng.integers(256, 65535)),       # BININT2
+                int(rng.integers(1 << 20, 1 << 30)),  # BININT
+                -int(rng.integers(1, 1 << 30)),
+                1 << 40,                              # LONG1
+                float(rng.standard_normal()),         # BINFLOAT
+                b"raw\x00bytes" * int(rng.integers(1, 4)),
+                "unicode-é中文",
+                "L" * 300,                            # > SHORT_BINUNICODE
+                [1, [2.5, None], "x"],
+                {"nested": {"deep": [False, 7]}},
+                (1, 2.0, "three"),
+                torch.arange(5, dtype=torch.int64),
+                torch.zeros(3, dtype=torch.bool),
+                torch.full((2, 2), 1.5, dtype=torch.float64),
+                torch.full((2,), 2.0, dtype=torch.float16),
+                torch.full((2,), 3.0, dtype=torch.bfloat16),
+                shared,
+                [shared, shared],                     # memo / BINGET reuse
+            ]
+            k = int(rng.integers(0, 5))
+            return {
+                f"extra_{j}": pool[int(rng.integers(0, len(pool)))]
+                for j in range(k)
+            }
+
+        for seed in range(10):
+            rng = np.random.default_rng(seed)
+            protocol = 2 + seed % 4
+            chunk = []
+            for i in range(int(rng.integers(1, 4))):
+                n_cam = int(rng.integers(1, 6))
+                scene = {
+                    "key": f"scene-ü{seed}-{i}" + "k" * int(rng.integers(0, 300)),
+                    "cameras": torch.from_numpy(
+                        rng.standard_normal((n_cam, 18)).astype(np.float32)
+                    ),
+                    "images": [
+                        torch.from_numpy(
+                            rng.integers(
+                                0, 256, size=int(rng.integers(0, 2000))
+                            ).astype(np.uint8)
+                        )
+                        for _ in range(int(rng.integers(0, 5)))
+                    ],
+                }
+                scene.update(extras(rng, torch))
+                chunk.append(scene)
+            path = tmp_path / f"fuzz_{seed}.torch"
+            torch.save(chunk, path, pickle_protocol=protocol)
+
+            ref = torch.load(path, weights_only=False)
+            got = load_chunk_native(path)
+            assert len(got) == len(ref)
+            for g, r in zip(got, ref):
+                assert g["key"] == r["key"]
+                np.testing.assert_array_equal(
+                    g["cameras"], r["cameras"].numpy()
+                )
+                assert len(g["images"]) == len(r["images"])
+                for gi, ri in zip(g["images"], r["images"]):
+                    np.testing.assert_array_equal(gi, ri.numpy())
+
+    def test_unsupported_cameras_fall_back_loudly(self, tmp_path):
+        """Envelope violations must RAISE (triggering the torch fallback in
+        chunk_reader.load_chunk), never silently mis-decode: non-float32
+        cameras and non-contiguous cameras (stride info is parsed and
+        rejected — a transposed save would otherwise decode transposed)."""
+        import torch
+
+        from mvldm_tpu.data.native_chunk import load_chunk_native
+
+        f64 = tmp_path / "f64.torch"
+        torch.save(
+            [{"key": "a", "cameras": torch.zeros(2, 18, dtype=torch.float64),
+              "images": []}], f64,
+        )
+        with pytest.raises(RuntimeError, match="float32"):
+            load_chunk_native(f64)
+
+        noncontig = tmp_path / "t.torch"
+        torch.save(
+            [{"key": "a", "cameras": torch.randn(18, 2).t(), "images": []}],
+            noncontig,
+        )
+        with pytest.raises(RuntimeError, match="contiguous"):
+            load_chunk_native(noncontig)
+
     def test_env_kill_switch(self, chunk_path, monkeypatch):
         import importlib
 
