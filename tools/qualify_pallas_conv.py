@@ -31,6 +31,7 @@ by tests/test_conv3x3.py to exercise this script's contract end to end;
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -99,14 +100,21 @@ def build_vae(hw: int, tiny: bool = False):
 
 def roundtrip_fn(vae, params):
     """img -> encode -> mode latent -> decode, jitted; the qualification
-    workload (touches every conv shape of both the encoder and decoder)."""
+    workload (touches every conv shape of both the encoder and decoder).
+
+    Params enter as a jit ARGUMENT, not a closure: closed-over arrays are
+    embedded in the XLA program as literal constants, which bloats the
+    remote-compile request by the full ~330 MB of f32 VAE weights — the
+    tunneled compile service rejects that with HTTP 413 (and every real
+    pipeline passes params as arguments anyway, so argument-passing is
+    also what qualification should exercise)."""
 
     @jax.jit
-    def f(img):
+    def f(params, img):
         dist = vae.apply({"params": params}, img, method=vae.encode)
         return vae.apply({"params": params}, dist.mode(), method=vae.decode)
 
-    return f
+    return functools.partial(f, params)
 
 
 def timed_chain(f, img, n: int, repeats: int = 3) -> float:
