@@ -10,12 +10,18 @@ as nine shifted matmuls accumulated in VMEM:
 
     out[n, y, x, :] = bias + sum_{dy,dx} x_pad[n, y+dy, x+dx, :] @ w[dy, dx]
 
-Halo handling without manual DMA: the padded input is pre-sliced (in XLA,
-one cheap elementwise pass) into THREE row-shifted views, one per dy; each
-view is a plain non-overlapping BlockSpec operand over row bands, and the
-dx column shifts are static slices of the W+2-wide band inside VMEM. Each
-band's nine (bh*W, Cin) @ (Cin, Cout) matmuls accumulate into one f32
-VMEM tile, so HBM sees three reads of x and one write of out.
+Halo handling via overlapping `pl.Element` row bands: the padded input is
+a single BlockSpec operand whose row dimension is indexed in ELEMENTS
+(``pl.Element(bh + 2)``, start ``hi * bh``), so consecutive grid steps
+fetch (bh+2)-row bands that overlap by the 2 halo rows — Pallas's standard
+pipelining double-buffers the fetches, no manual DMA and no materialized
+shifted copies. The dy row shifts and dx column shifts are static slices
+of the in-VMEM band. Each band's nine (bh*W, Cin) @ (Cin, Cout) matmuls
+accumulate into one f32 register tile, so HBM sees ~one read of x
+((bh+2)/bh including halos) and one write of out. (A first version fed
+three row-shifted padded COPIES as separate non-overlapping operands;
+on-chip it lost to XLA's conv lowering (0.74x) because materializing and
+re-reading 3x the input made it bandwidth-bound.)
 
 Scope: stride 1, SAME padding, 3x3, lane-aligned channels
 (Cin % 128 == Cout % 128 == 0) — the VAE's hot resnet convs. Everything
@@ -51,18 +57,19 @@ LANE = 128
 VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref):
-    """One (1, bh, W, Cout) output band. x{dy}_ref: (1, bh, W+2, Cin)
-    row-shifted padded input bands; w_ref: (9, Cin, Cout); b_ref: (1, Cout)."""
-    bh, wp, cin = x0_ref.shape[1], x0_ref.shape[2], x0_ref.shape[3]
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref):
+    """One (1, bh, W, Cout) output band. x_ref: (1, bh+2, W+2, Cin) halo
+    band of the padded input; w_ref: (9, Cin, Cout); b_ref: (1, Cout)."""
+    wp, cin = x_ref.shape[2], x_ref.shape[3]
     w = wp - 2
+    bh = o_ref.shape[1]
     cout = o_ref.shape[3]
 
     acc = jnp.zeros((bh, w, cout), jnp.float32)
-    for dy, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
-        xb = x_ref[0]  # (bh, W+2, Cin)
+    xb = x_ref[0]  # (bh+2, W+2, Cin)
+    for dy in range(3):
         for dx in range(3):
-            xs = xb[:, dx:dx + w, :]
+            xs = xb[dy:dy + bh, dx:dx + w, :]
             acc = acc + jax.lax.dot_general(
                 xs, w_ref[dy * 3 + dx],
                 (((2,), (0,)), ((), ())),
@@ -72,7 +79,7 @@ def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref):
 
 
 def _vmem_bytes(bh: int, w: int, cin: int, cout: int, itemsize: int) -> int:
-    bands = 3 * bh * (w + 2) * cin * itemsize * 2  # double-buffered
+    bands = (bh + 2) * (w + 2) * cin * itemsize * 2  # double-buffered
     weights = 9 * cin * cout * itemsize
     acc = bh * w * cout * 4
     out = bh * w * cout * itemsize * 2
@@ -109,23 +116,28 @@ def _conv3x3_pallas(x: Array, w: Array, b: Array, interpret: bool = False):
     bh = _pick_band(h, wd, cin, cout, itemsize)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # Three row-shifted views: view dy covers padded rows [dy, dy + H) so a
-    # band at output rows [r, r+bh) reads its dy-shifted halo rows from
-    # view dy's rows [r, r+bh) — non-overlapping blocks, no manual DMA.
-    x0 = xp[:, 0:h, :, :]
-    x1 = xp[:, 1:h + 1, :, :]
-    x2 = xp[:, 2:h + 2, :, :]
     w9 = w.reshape(9, cin, cout)
 
+    # Overlapping (bh+2)-row halo bands of the single padded array: the row
+    # dimension is indexed in elements (start hi*bh), so band hi covers
+    # padded rows [hi*bh, hi*bh + bh + 2) and adjacent bands share the two
+    # halo rows. The final band ends at (h//bh - 1)*bh + bh + 2 = h + 2,
+    # exactly the padded height — never out of bounds.
+    # Mosaic requires every dim of an Element-indexed spec to be Element;
+    # the index_map therefore returns ELEMENT offsets for all four dims.
     band_spec = pl.BlockSpec(
-        (1, bh, wd + 2, cin), lambda ni, hi: (ni, hi, 0, 0)
+        (
+            pl.Element(1),
+            pl.Element(bh + 2),
+            pl.Element(wd + 2),
+            pl.Element(cin),
+        ),
+        lambda ni, hi: (ni, hi * bh, 0, 0),
     )
     return pl.pallas_call(
         _conv_kernel,
         grid=(n, h // bh),
         in_specs=[
-            band_spec,
-            band_spec,
             band_spec,
             pl.BlockSpec((9, cin, cout), lambda ni, hi: (0, 0, 0)),
             pl.BlockSpec((1, cout), lambda ni, hi: (0, 0)),
@@ -135,7 +147,7 @@ def _conv3x3_pallas(x: Array, w: Array, b: Array, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
         interpret=interpret,
-    )(x0, x1, x2, w9, b.reshape(1, cout))
+    )(xp, w9, b.reshape(1, cout))
 
 
 def _conv3x3_xla(x: Array, w: Array, b: Array) -> Array:
