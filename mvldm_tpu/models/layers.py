@@ -57,12 +57,11 @@ class GroupNorm(nn.Module):
     """GroupNorm with fp32 statistics regardless of input dtype, with an
     optional fused activation.
 
-    Compute goes through XLA's GroupNorm lowering: the Pallas alternative
-    (``ops/group_norm.py``) matches it standalone (both sit at the chip's
-    measured ~72 GB/s elementwise floor) but measured SLOWER in-graph — the
-    custom-call boundary blocks XLA from fusing the normalize pass with the
-    surrounding residual/time-emb adds. Params stay under ``GroupNorm_0``
-    (checkpoint-conversion contract)."""
+    Compute goes through XLA's GroupNorm lowering: a Pallas alternative was
+    built and measured SLOWER in-graph (the custom-call boundary blocks XLA
+    from fusing the normalize pass with the surrounding residual/time-emb
+    adds; negative result recorded in BENCHMARKS.md) and deleted. Params stay
+    under ``GroupNorm_0`` (checkpoint-conversion contract)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -81,57 +80,27 @@ class GroupNorm(nn.Module):
         return out.astype(x.dtype)
 
 
-class PallasConv3x3(nn.Module):
-    """Param-compatible drop-in for a 3x3 SAME ``nn.Conv`` that routes
-    lane-aligned shapes through the Pallas shifted-matmul kernel
-    (``ops/conv3x3.py``); identical param names/shapes/init, so checkpoint
-    conversion and init-parity are unaffected. Non-aligned shapes fall back
-    to the XLA lowering inside the op."""
-
-    out_channels: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        from ..ops.conv3x3 import conv3x3
-
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.out_channels),
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros_init(), (self.out_channels,)
-        )
-        return conv3x3(x.astype(self.dtype), kernel, bias)
-
-
 class ResnetBlock(nn.Module):
     """GroupNorm -> SiLU -> Conv3x3 (x2) with residual; optional time emb.
 
-    ``pallas_conv`` swaps the two 3x3 convs for the Pallas shifted-matmul
-    kernel — enabled by the (frozen) VAE, whose large-spatial stages XLA
-    lowers well under the MXU rate (see ``ops/conv3x3.py``). The UNet keeps
-    XLA convs: its shapes already run at the conv ceiling and its backward
-    is a hot path."""
+    Convs are XLA lowerings: two generations of a Pallas shifted-matmul
+    3x3-conv kernel were qualified on hardware at 0.73x / 0.69x XLA and
+    deleted (negative result in BENCHMARKS.md) — XLA's conv tiling plus its
+    freedom to fuse the surrounding norm/residual work wins at every shape
+    this model traces."""
 
     out_channels: int
     use_time_emb: bool = True
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
-    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         in_channels = x.shape[-1]
         residual = x
-        conv = (
-            functools.partial(PallasConv3x3, dtype=self.dtype)
-            if self.pallas_conv
-            else functools.partial(
-                nn.Conv, kernel_size=(3, 3), padding=1, dtype=self.dtype
-            )
+        conv = functools.partial(
+            nn.Conv, kernel_size=(3, 3), padding=1, dtype=self.dtype
         )
 
         h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)

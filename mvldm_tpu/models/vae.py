@@ -96,7 +96,6 @@ class Encoder(nn.Module):
                     groups=cfg.norm_num_groups,
                     eps=1e-6,
                     dtype=self.dtype,
-                    pallas_conv=True,
                     name=f"down_{i}_res_{j}",
                 )(h)
             if i < len(cfg.block_out_channels) - 1:
@@ -109,7 +108,7 @@ class Encoder(nn.Module):
 
         h = ResnetBlock(
             h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
-            eps=1e-6, dtype=self.dtype, pallas_conv=True, name="mid_res_0",
+            eps=1e-6, dtype=self.dtype, name="mid_res_0",
         )(h)
         if cfg.mid_block_add_attention:
             h = AttnBlockVAE(
@@ -117,7 +116,7 @@ class Encoder(nn.Module):
             )(h)
         h = ResnetBlock(
             h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
-            eps=1e-6, dtype=self.dtype, pallas_conv=True, name="mid_res_1",
+            eps=1e-6, dtype=self.dtype, name="mid_res_1",
         )(h)
 
         h = GroupNorm(
@@ -144,7 +143,7 @@ class Decoder(nn.Module):
 
         h = ResnetBlock(
             h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
-            eps=1e-6, dtype=self.dtype, pallas_conv=True, name="mid_res_0",
+            eps=1e-6, dtype=self.dtype, name="mid_res_0",
         )(h)
         if cfg.mid_block_add_attention:
             h = AttnBlockVAE(
@@ -152,7 +151,7 @@ class Decoder(nn.Module):
             )(h)
         h = ResnetBlock(
             h.shape[-1], use_time_emb=False, groups=cfg.norm_num_groups,
-            eps=1e-6, dtype=self.dtype, pallas_conv=True, name="mid_res_1",
+            eps=1e-6, dtype=self.dtype, name="mid_res_1",
         )(h)
 
         for i, out_ch in enumerate(reversed_channels):
@@ -163,7 +162,6 @@ class Decoder(nn.Module):
                     groups=cfg.norm_num_groups,
                     eps=1e-6,
                     dtype=self.dtype,
-                    pallas_conv=True,
                     name=f"up_{i}_res_{j}",
                 )(h)
             if i < len(reversed_channels) - 1:

@@ -1,0 +1,475 @@
+"""End-to-end torch activation goldens for the checkpoint-conversion path.
+
+``tests/test_weight_convert.py`` proves each converted module family
+(resnet / SD transformer / cross-view block) against a torch functional
+forward. These tests close the remaining conversion-semantics hole flagged
+in round 3: a full tiny-topology MultiViewUNet and AutoencoderKL are
+mirrored functionally in torch (the ground truth for the diffusers
+execution semantics the reference relies on — ``mvunet.py:90-208``,
+``autoencoder_kl.py`` via diffusers), random torch weights are laid out
+with the reference Lightning checkpoint's key names
+(``denoiser.unet.* / denoiser.cross_attn_blocks_* / autoencoder.*``),
+converted through ``convert_mvldm_checkpoint`` — the exact path a real
+released checkpoint takes — and the Flax models must reproduce the torch
+activations end to end. A silent OIHW/HWIO flip, head-layout error, skip
+-order swap, or GroupNorm-eps mismatch anywhere in the pipeline fails
+these tests.
+
+Everything here is fp32 on CPU and sized to run in the default suite.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mvldm_tpu.models.mv_attention import SpatialTransformer3DCfg
+from mvldm_tpu.models.unet import MultiViewUNet, MultiViewUNetCfg, UNetBackboneCfg
+from mvldm_tpu.models.vae import AutoencoderKL, AutoencoderKLCfg
+from mvldm_tpu.models.layers import timestep_embedding
+from mvldm_tpu.utils.weight_convert import convert_mvldm_checkpoint
+
+from tests.test_weight_convert import synth_unet_sd, torch_attention
+
+torch.manual_seed(7)
+
+# ---------------------------------------------------------------------------
+# Tiny flagship-topology configs (2 down/up stages, 1 layer/block).
+
+BACKBONE = UNetBackboneCfg(
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=24,
+    num_attention_heads=(4, 4),
+    norm_num_groups=8,
+)
+MV_HEADS = 4
+VAE_CFG = AutoencoderKLCfg(
+    block_out_channels=(16, 32, 32, 32),
+    layers_per_block=1,
+    norm_num_groups=8,
+)
+IN_CH, OUT_CH = 11, 4
+
+
+def synth_cross_view_sd(prefix: str, c: int) -> dict:
+    """Random torch weights for one reference SpatialTransformer3D
+    (``mvdream/attention.py:371-439`` layout, conv 1x1 projections)."""
+    sd = {}
+
+    def add(name, *shape):
+        sd[f"{prefix}.{name}"] = torch.randn(*shape) * 0.1
+
+    add("norm.weight", c); add("norm.bias", c)
+    add("proj_in.weight", c, c, 1, 1); add("proj_in.bias", c)
+    # Random (not zero-init) proj_out so the cross-view contribution is
+    # actually exercised by the parity check.
+    add("proj_out.weight", c, c, 1, 1); add("proj_out.bias", c)
+    tb = "transformer_blocks.0"
+    for n in ("norm1", "norm2", "norm3"):
+        add(f"{tb}.{n}.weight", c); add(f"{tb}.{n}.bias", c)
+    for a in ("attn1", "attn2"):
+        add(f"{tb}.{a}.to_q.weight", c, c)
+        add(f"{tb}.{a}.to_k.weight", c, c)
+        add(f"{tb}.{a}.to_v.weight", c, c)
+        add(f"{tb}.{a}.to_out.0.weight", c, c)
+        add(f"{tb}.{a}.to_out.0.bias", c)
+    add(f"{tb}.ff.net.0.proj.weight", c * 8, c)
+    add(f"{tb}.ff.net.0.proj.bias", c * 8)
+    add(f"{tb}.ff.net.2.weight", c, c * 4)
+    add(f"{tb}.ff.net.2.bias", c)
+    return sd
+
+
+def synth_vae_sd(cfg: AutoencoderKLCfg) -> dict:
+    """Random torch weights with diffusers AutoencoderKL key names."""
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = torch.randn(*shape) * 0.1
+
+    ch = cfg.block_out_channels
+    lpb = cfg.layers_per_block
+
+    def add_resnet(p, cin, cout):
+        add(f"{p}.norm1.weight", cin); add(f"{p}.norm1.bias", cin)
+        add(f"{p}.conv1.weight", cout, cin, 3, 3); add(f"{p}.conv1.bias", cout)
+        add(f"{p}.norm2.weight", cout); add(f"{p}.norm2.bias", cout)
+        add(f"{p}.conv2.weight", cout, cout, 3, 3); add(f"{p}.conv2.bias", cout)
+        if cin != cout:
+            add(f"{p}.conv_shortcut.weight", cout, cin, 1, 1)
+            add(f"{p}.conv_shortcut.bias", cout)
+
+    def add_attn(p, c):
+        add(f"{p}.group_norm.weight", c); add(f"{p}.group_norm.bias", c)
+        for n in ("to_q", "to_k", "to_v"):
+            add(f"{p}.{n}.weight", c, c); add(f"{p}.{n}.bias", c)
+        add(f"{p}.to_out.0.weight", c, c); add(f"{p}.to_out.0.bias", c)
+
+    add("encoder.conv_in.weight", ch[0], 3, 3, 3); add("encoder.conv_in.bias", ch[0])
+    cin = ch[0]
+    for i in range(4):
+        for j in range(lpb):
+            add_resnet(f"encoder.down_blocks.{i}.resnets.{j}",
+                       cin if j == 0 else ch[i], ch[i])
+        if i < 3:
+            add(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight",
+                ch[i], ch[i], 3, 3)
+            add(f"encoder.down_blocks.{i}.downsamplers.0.conv.bias", ch[i])
+        cin = ch[i]
+    add_resnet("encoder.mid_block.resnets.0", ch[-1], ch[-1])
+    add_attn("encoder.mid_block.attentions.0", ch[-1])
+    add_resnet("encoder.mid_block.resnets.1", ch[-1], ch[-1])
+    add("encoder.conv_norm_out.weight", ch[-1]); add("encoder.conv_norm_out.bias", ch[-1])
+    add("encoder.conv_out.weight", 8, ch[-1], 3, 3); add("encoder.conv_out.bias", 8)
+    add("quant_conv.weight", 8, 8, 1, 1); add("quant_conv.bias", 8)
+    add("post_quant_conv.weight", 4, 4, 1, 1); add("post_quant_conv.bias", 4)
+
+    rev = list(reversed(ch))
+    add("decoder.conv_in.weight", rev[0], 4, 3, 3); add("decoder.conv_in.bias", rev[0])
+    add_resnet("decoder.mid_block.resnets.0", rev[0], rev[0])
+    add_attn("decoder.mid_block.attentions.0", rev[0])
+    add_resnet("decoder.mid_block.resnets.1", rev[0], rev[0])
+    cin = rev[0]
+    for i in range(4):
+        for j in range(lpb + 1):
+            add_resnet(f"decoder.up_blocks.{i}.resnets.{j}",
+                       cin if j == 0 else rev[i], rev[i])
+        if i < 3:
+            add(f"decoder.up_blocks.{i}.upsamplers.0.conv.weight",
+                rev[i], rev[i], 3, 3)
+            add(f"decoder.up_blocks.{i}.upsamplers.0.conv.bias", rev[i])
+        cin = rev[i]
+    add("decoder.conv_norm_out.weight", rev[-1]); add("decoder.conv_norm_out.bias", rev[-1])
+    add("decoder.conv_out.weight", 3, rev[-1], 3, 3); add("decoder.conv_out.bias", 3)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def checkpoint():
+    """A synthetic reference Lightning checkpoint (random weights, real key
+    layout) plus its conversion through ``convert_mvldm_checkpoint``."""
+    ckpt = {}
+    for k, v in synth_unet_sd(BACKBONE, in_ch=IN_CH, out_ch=OUT_CH).items():
+        ckpt[f"denoiser.unet.{k}"] = v
+    n_stages = len(BACKBONE.down_block_types)
+    for i in range(n_stages):
+        ckpt.update(synth_cross_view_sd(
+            f"denoiser.cross_attn_blocks_encoder.{i}",
+            BACKBONE.block_out_channels[i]))
+    ckpt.update(synth_cross_view_sd(
+        "denoiser.cross_attn_blocks_mid.0", BACKBONE.block_out_channels[-1]))
+    rev = list(reversed(BACKBONE.block_out_channels))
+    for i in range(n_stages):
+        ckpt.update(synth_cross_view_sd(
+            f"denoiser.cross_attn_blocks_decoder.{i}", rev[i]))
+    for k, v in synth_vae_sd(VAE_CFG).items():
+        ckpt[f"autoencoder.{k}"] = v
+
+    params = convert_mvldm_checkpoint(
+        ckpt,
+        layers_per_block=BACKBONE.layers_per_block,
+        down_block_types=BACKBONE.down_block_types,
+        up_block_types=BACKBONE.up_block_types,
+        vae_layers_per_block=VAE_CFG.layers_per_block,
+    )
+    return ckpt, params
+
+
+# ---------------------------------------------------------------------------
+# Torch functional mirrors (ground truth).
+
+
+def t_groupnorm_silu(x, sd, p, groups, eps):
+    h = F.group_norm(x, groups, sd[f"{p}.weight"], sd[f"{p}.bias"], eps=eps)
+    return F.silu(h)
+
+
+def t_resnet(x, sd, p, groups, eps, temb=None):
+    h = t_groupnorm_silu(x, sd, f"{p}.norm1", groups, eps)
+    h = F.conv2d(h, sd[f"{p}.conv1.weight"], sd[f"{p}.conv1.bias"], padding=1)
+    if temb is not None and f"{p}.time_emb_proj.weight" in sd:
+        t = F.linear(F.silu(temb), sd[f"{p}.time_emb_proj.weight"],
+                     sd[f"{p}.time_emb_proj.bias"])
+        h = h + t[:, :, None, None]
+    h = t_groupnorm_silu(h, sd, f"{p}.norm2", groups, eps)
+    h = F.conv2d(h, sd[f"{p}.conv2.weight"], sd[f"{p}.conv2.bias"], padding=1)
+    if f"{p}.conv_shortcut.weight" in sd:
+        x = F.conv2d(x, sd[f"{p}.conv_shortcut.weight"],
+                     sd[f"{p}.conv_shortcut.bias"])
+    return x + h
+
+
+def t_transformer_block(x, ctx, sd, p, heads):
+    """SD BasicTransformerBlock (self-attn, text cross-attn, GEGLU FF)."""
+    c = x.shape[-1]
+    h = F.layer_norm(x, (c,), sd[f"{p}.norm1.weight"], sd[f"{p}.norm1.bias"])
+    x = x + torch_attention(h, h, sd, f"{p}.attn1", heads)
+    h = F.layer_norm(x, (c,), sd[f"{p}.norm2.weight"], sd[f"{p}.norm2.bias"])
+    x = x + torch_attention(h, ctx, sd, f"{p}.attn2", heads)
+    h = F.layer_norm(x, (c,), sd[f"{p}.norm3.weight"], sd[f"{p}.norm3.bias"])
+    ff = F.linear(h, sd[f"{p}.ff.net.0.proj.weight"], sd[f"{p}.ff.net.0.proj.bias"])
+    a, gate = ff.chunk(2, dim=-1)
+    return x + F.linear(a * F.gelu(gate), sd[f"{p}.ff.net.2.weight"],
+                        sd[f"{p}.ff.net.2.bias"])
+
+
+def t_sd_attn(x, ctx, sd, p, heads, groups):
+    """SD Transformer2DModel with linear projections (GroupNorm eps 1e-6)."""
+    b, c, hh, ww = x.shape
+    h = F.group_norm(x, groups, sd[f"{p}.norm.weight"], sd[f"{p}.norm.bias"],
+                     eps=1e-6)
+    h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+    h = F.linear(h, sd[f"{p}.proj_in.weight"], sd[f"{p}.proj_in.bias"])
+    h = t_transformer_block(h, ctx, sd, f"{p}.transformer_blocks.0", heads)
+    h = F.linear(h, sd[f"{p}.proj_out.weight"], sd[f"{p}.proj_out.bias"])
+    return h.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + x
+
+
+def t_cross_view(x, sd, p, heads, groups, v):
+    """Reference SpatialTransformer3D: joint attn over views, per-frame
+    attn, GEGLU FF, conv 1x1 projections (``mvdream/attention.py:357-439``).
+    x: (b*v, c, h, w)."""
+    bv, c, hh, ww = x.shape
+    b = bv // v
+    h = F.group_norm(x, groups, sd[f"{p}.norm.weight"], sd[f"{p}.norm.bias"],
+                     eps=1e-6)
+    h = F.conv2d(h, sd[f"{p}.proj_in.weight"], sd[f"{p}.proj_in.bias"])
+    h = h.permute(0, 2, 3, 1).reshape(bv, hh * ww, c)
+    l = hh * ww
+    tb = f"{p}.transformer_blocks.0"
+    joint = h.reshape(b, v * l, c)
+    n = F.layer_norm(joint, (c,), sd[f"{tb}.norm1.weight"], sd[f"{tb}.norm1.bias"])
+    joint = joint + torch_attention(n, n, sd, f"{tb}.attn1", heads)
+    h = joint.reshape(bv, l, c)
+    n = F.layer_norm(h, (c,), sd[f"{tb}.norm2.weight"], sd[f"{tb}.norm2.bias"])
+    h = h + torch_attention(n, n, sd, f"{tb}.attn2", heads)
+    n = F.layer_norm(h, (c,), sd[f"{tb}.norm3.weight"], sd[f"{tb}.norm3.bias"])
+    ff = F.linear(n, sd[f"{tb}.ff.net.0.proj.weight"], sd[f"{tb}.ff.net.0.proj.bias"])
+    a, gate = ff.chunk(2, dim=-1)
+    h = h + F.linear(a * F.gelu(gate), sd[f"{tb}.ff.net.2.weight"],
+                     sd[f"{tb}.ff.net.2.bias"])
+    h = h.reshape(bv, hh, ww, c).permute(0, 3, 1, 2)
+    h = F.conv2d(h, sd[f"{p}.proj_out.weight"], sd[f"{p}.proj_out.bias"])
+    return h + x
+
+
+def t_timestep_embedding(t, dim):
+    """diffusers Timesteps with the SD2.1 UNet settings
+    (flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half
+    emb = t.float()[:, None] * torch.exp(exponent)[None, :]
+    return torch.cat([torch.cos(emb), torch.sin(emb)], dim=-1)
+
+
+def torch_unet_forward(ckpt, x, t, v):
+    """Full reference MultiViewUNet forward (``mvunet.py:90-208``): unrolled
+    SD2.1 traversal, skips captured per-resnet BEFORE cross-view attention,
+    cross-view blocks after each stage (every stage here is <= 32x32), SD
+    text cross-attn fed zeros, up-block SD attentions skipped (the
+    pretrained-path quirk, ``mvunet.py:178``), per-view timesteps."""
+    sd = {k[len("denoiser.unet."):]: w for k, w in ckpt.items()
+          if k.startswith("denoiser.unet.")}
+    cv = {k[len("denoiser."):]: w for k, w in ckpt.items()
+          if k.startswith("denoiser.cross_attn_blocks_")}
+    ch = BACKBONE.block_out_channels
+    groups, eps = BACKBONE.norm_num_groups, BACKBONE.norm_eps
+    lpb = BACKBONE.layers_per_block
+    heads = BACKBONE.num_attention_heads
+
+    bv = x.shape[0]
+    ctx = torch.zeros(bv, 1, BACKBONE.cross_attention_dim)
+
+    temb = t_timestep_embedding(t, ch[0])
+    temb = F.linear(temb, sd["time_embedding.linear_1.weight"],
+                    sd["time_embedding.linear_1.bias"])
+    temb = F.linear(F.silu(temb), sd["time_embedding.linear_2.weight"],
+                    sd["time_embedding.linear_2.bias"])
+
+    h = F.conv2d(x, sd["conv_in.weight"], sd["conv_in.bias"], padding=1)
+    skips = [h]
+    for i, btype in enumerate(BACKBONE.down_block_types):
+        for j in range(lpb):
+            h = t_resnet(h, sd, f"down_blocks.{i}.resnets.{j}", groups, eps, temb)
+            if btype == "CrossAttnDownBlock2D":
+                h = t_sd_attn(h, ctx, sd, f"down_blocks.{i}.attentions.{j}",
+                              heads[i], groups)
+            skips.append(h)
+        h = t_cross_view(h, cv, f"cross_attn_blocks_encoder.{i}", MV_HEADS,
+                         groups, v)
+        if i < len(BACKBONE.down_block_types) - 1:
+            h = F.conv2d(h, sd[f"down_blocks.{i}.downsamplers.0.conv.weight"],
+                         sd[f"down_blocks.{i}.downsamplers.0.conv.bias"],
+                         stride=2, padding=1)
+            skips.append(h)
+
+    h = t_resnet(h, sd, "mid_block.resnets.0", groups, eps, temb)
+    h = t_sd_attn(h, ctx, sd, "mid_block.attentions.0", heads[-1], groups)
+    h = t_resnet(h, sd, "mid_block.resnets.1", groups, eps, temb)
+    h = t_cross_view(h, cv, "cross_attn_blocks_mid.0", MV_HEADS, groups, v)
+
+    for i in range(len(BACKBONE.up_block_types)):
+        for j in range(lpb + 1):
+            h = torch.cat([h, skips.pop()], dim=1)
+            h = t_resnet(h, sd, f"up_blocks.{i}.resnets.{j}", groups, eps, temb)
+        h = t_cross_view(h, cv, f"cross_attn_blocks_decoder.{i}", MV_HEADS,
+                         groups, v)
+        if i < len(BACKBONE.up_block_types) - 1:
+            h = F.interpolate(h, scale_factor=2, mode="nearest")
+            h = F.conv2d(h, sd[f"up_blocks.{i}.upsamplers.0.conv.weight"],
+                         sd[f"up_blocks.{i}.upsamplers.0.conv.bias"], padding=1)
+
+    h = t_groupnorm_silu(h, sd, "conv_norm_out", groups, eps)
+    return F.conv2d(h, sd["conv_out.weight"], sd["conv_out.bias"], padding=1)
+
+
+def t_vae_attn(x, sd, p, groups):
+    b, c, hh, ww = x.shape
+    h = F.group_norm(x, groups, sd[f"{p}.group_norm.weight"],
+                     sd[f"{p}.group_norm.bias"], eps=1e-6)
+    h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+    q = F.linear(h, sd[f"{p}.to_q.weight"], sd[f"{p}.to_q.bias"])
+    k = F.linear(h, sd[f"{p}.to_k.weight"], sd[f"{p}.to_k.bias"])
+    v = F.linear(h, sd[f"{p}.to_v.weight"], sd[f"{p}.to_v.bias"])
+    out = F.scaled_dot_product_attention(
+        q[:, None], k[:, None], v[:, None]
+    )[:, 0]
+    out = F.linear(out, sd[f"{p}.to_out.0.weight"], sd[f"{p}.to_out.0.bias"])
+    return out.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + x
+
+
+def torch_vae_encode(ckpt, x):
+    """diffusers AutoencoderKL.encode moments (encoder + quant_conv),
+    asymmetric (0,1,0,1) downsample padding, GroupNorm eps 1e-6."""
+    sd = {k[len("autoencoder."):]: w for k, w in ckpt.items()
+          if k.startswith("autoencoder.")}
+    ch = VAE_CFG.block_out_channels
+    groups = VAE_CFG.norm_num_groups
+    lpb = VAE_CFG.layers_per_block
+
+    h = F.conv2d(x, sd["encoder.conv_in.weight"], sd["encoder.conv_in.bias"],
+                 padding=1)
+    for i in range(4):
+        for j in range(lpb):
+            h = t_resnet(h, sd, f"encoder.down_blocks.{i}.resnets.{j}",
+                         groups, 1e-6)
+        if i < 3:
+            h = F.pad(h, (0, 1, 0, 1))
+            h = F.conv2d(h, sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"],
+                         sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"],
+                         stride=2)
+    h = t_resnet(h, sd, "encoder.mid_block.resnets.0", groups, 1e-6)
+    h = t_vae_attn(h, sd, "encoder.mid_block.attentions.0", groups)
+    h = t_resnet(h, sd, "encoder.mid_block.resnets.1", groups, 1e-6)
+    h = t_groupnorm_silu(h, sd, "encoder.conv_norm_out", groups, 1e-6)
+    h = F.conv2d(h, sd["encoder.conv_out.weight"], sd["encoder.conv_out.bias"],
+                 padding=1)
+    return F.conv2d(h, sd["quant_conv.weight"], sd["quant_conv.bias"])
+
+
+def torch_vae_decode(ckpt, z):
+    sd = {k[len("autoencoder."):]: w for k, w in ckpt.items()
+          if k.startswith("autoencoder.")}
+    groups = VAE_CFG.norm_num_groups
+    lpb = VAE_CFG.layers_per_block
+    rev = list(reversed(VAE_CFG.block_out_channels))
+
+    h = F.conv2d(z, sd["post_quant_conv.weight"], sd["post_quant_conv.bias"])
+    h = F.conv2d(h, sd["decoder.conv_in.weight"], sd["decoder.conv_in.bias"],
+                 padding=1)
+    h = t_resnet(h, sd, "decoder.mid_block.resnets.0", groups, 1e-6)
+    h = t_vae_attn(h, sd, "decoder.mid_block.attentions.0", groups)
+    h = t_resnet(h, sd, "decoder.mid_block.resnets.1", groups, 1e-6)
+    for i in range(4):
+        for j in range(lpb + 1):
+            h = t_resnet(h, sd, f"decoder.up_blocks.{i}.resnets.{j}",
+                         groups, 1e-6)
+        if i < 3:
+            h = F.interpolate(h, scale_factor=2, mode="nearest")
+            h = F.conv2d(h, sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"],
+                         sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"],
+                         padding=1)
+    h = t_groupnorm_silu(h, sd, "decoder.conv_norm_out", groups, 1e-6)
+    return F.conv2d(h, sd["decoder.conv_out.weight"], sd["decoder.conv_out.bias"],
+                    padding=1)
+
+
+# ---------------------------------------------------------------------------
+# Tests.
+
+
+def test_timestep_embedding_golden():
+    """Hand-derived goldens (values computed from the closed form; shown in
+    comments) plus the torch mirror over a timestep sweep — regression-proof
+    against edits to the frequency table or the cos/sin flip."""
+    t = jnp.asarray([0, 1, 500, 999])
+    emb = np.asarray(timestep_embedding(t, 8))
+    # dim=8 -> half=4, freqs = exp(-ln(1e4) * [0,1,2,3]/4) = [1, 1e-1, 1e-2, 1e-3]
+    freqs = np.array([1.0, 10.0**-1, 10.0**-2, 10.0**-3])
+    for row, tv in enumerate([0.0, 1.0, 500.0, 999.0]):
+        # atol at fp32 resolution of the phase (t*freq up to ~999 -> ~1e-5).
+        np.testing.assert_allclose(emb[row, :4], np.cos(tv * freqs), atol=2e-5)
+        np.testing.assert_allclose(emb[row, 4:], np.sin(tv * freqs), atol=2e-5)
+    # t=0: cos block exactly 1, sin block exactly 0.
+    np.testing.assert_array_equal(emb[0, :4], np.ones(4, np.float32))
+    np.testing.assert_array_equal(emb[0, 4:], np.zeros(4, np.float32))
+
+    mirror = t_timestep_embedding(torch.tensor([0, 1, 500, 999]), 8).numpy()
+    np.testing.assert_allclose(emb, mirror, atol=1e-6)
+
+
+def test_full_unet_forward_parity(checkpoint):
+    """Converted checkpoint + Flax MultiViewUNet == torch functional mirror
+    of the full reference forward, per-view timesteps and all."""
+    ckpt, params = checkpoint
+    b, v, hw = 1, 3, 16
+    x = torch.randn(b * v, IN_CH, hw, hw) * 0.5
+    t = torch.tensor([0, 250, 999])  # per-view timesteps (mvunet.py:101-105)
+
+    expected = torch_unet_forward(ckpt, x, t, v).numpy()
+
+    cfg = MultiViewUNetCfg(
+        autoencoder=BACKBONE,
+        multi_view_attention=SpatialTransformer3DCfg(num_heads=MV_HEADS),
+    )
+    model = MultiViewUNet(cfg, in_channels=IN_CH, out_channels=OUT_CH)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1)).reshape(b, v, hw, hw, IN_CH)
+    t_j = jnp.asarray(t.numpy()).reshape(b, v)
+    out = model.apply({"params": params["unet"]}, x_j, t_j)
+    out = np.asarray(out).reshape(b * v, hw, hw, OUT_CH).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, expected, atol=3e-4)
+
+
+def test_full_vae_encode_parity(checkpoint):
+    ckpt, params = checkpoint
+    x = torch.randn(2, 3, 64, 64) * 0.5
+    expected = torch_vae_encode(ckpt, x).numpy()
+
+    vae = AutoencoderKL(VAE_CFG)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    dist = vae.apply({"params": params["vae"]}, x_j, method=AutoencoderKL.encode)
+    moments = np.concatenate(
+        [np.asarray(dist.mean), np.asarray(dist.logvar)], axis=-1
+    ).transpose(0, 3, 1, 2)
+    # logvar is clamped to [-30, 20] on the Flax side (diffusers semantics);
+    # random weights keep it far from the clamp, so direct compare is valid.
+    np.testing.assert_allclose(moments, expected, atol=3e-4)
+
+
+def test_full_vae_decode_parity(checkpoint):
+    ckpt, params = checkpoint
+    z = torch.randn(2, 4, 8, 8)
+    expected = torch_vae_decode(ckpt, z).numpy()
+
+    vae = AutoencoderKL(VAE_CFG)
+    z_j = jnp.asarray(z.numpy().transpose(0, 2, 3, 1))
+    out = vae.apply({"params": params["vae"]}, z_j, method=AutoencoderKL.decode)
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, expected, atol=3e-4)
