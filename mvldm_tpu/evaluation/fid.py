@@ -90,6 +90,59 @@ def vgg_feature_extractor(
     return extract
 
 
+def vae_feature_extractor(
+    vae_params,
+    vae_kwargs=None,
+    pool_to: int = 8,
+    batch_size: int = 16,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Feature extractor over the SD-VAE *encoder*: latent means pooled to a
+    (pool_to x pool_to x 4) grid and flattened (256-d by default).
+
+    The in-repo fallback when no VGG/Inception weights can exist in the
+    environment (reference counterpart: cleanfid's Inception at
+    ``scripts/compute_fid.py:43-50``): the converted SD2.1 VAE encoder is a
+    strong learned feature map that ships WITH the model checkpoint, so the
+    eval sweep can always emit a learned-feature Frechet/kernel distance.
+    Scores are comparable within a run / across runs of this framework —
+    loudly keyed ``fid_vaefeat_*`` — never against published Inception-FID
+    numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vae import AutoencoderKL, AutoencoderKLCfg
+
+    vae = AutoencoderKL(vae_kwargs or AutoencoderKLCfg())
+
+    @jax.jit
+    def encode(images):
+        # images in [0, 1] -> VAE domain [-1, 1]; features = latent MEANS
+        # (the deterministic branch of the posterior).
+        dist = vae.apply(
+            {"params": vae_params}, images * 2.0 - 1.0,
+            method=AutoencoderKL.encode,
+        )
+        mean = dist.mean
+        b, h, w, c = mean.shape
+        assert h % pool_to == 0 and w % pool_to == 0, (
+            f"latent {h}x{w} not divisible by pool_to={pool_to}"
+        )
+        pooled = mean.reshape(
+            b, pool_to, h // pool_to, pool_to, w // pool_to, c
+        ).mean(axis=(2, 4))
+        return pooled.reshape(b, pool_to * pool_to * c)
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        feats = []
+        for i in range(0, len(images), batch_size):
+            feats.append(np.asarray(encode(jnp.asarray(
+                images[i : i + batch_size], jnp.float32
+            ))))
+        return np.concatenate(feats)
+
+    return extract
+
+
 def fid_between_dirs(
     dir_a: Path,
     dir_b: Path,

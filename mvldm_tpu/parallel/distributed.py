@@ -29,6 +29,31 @@ import os
 _initialized = False
 
 
+def is_main_process() -> bool:
+    """True on the process that owns host-side output (rank 0).
+
+    The JAX equivalent of the reference's rank guards
+    (``rank_zero_only`` at ``diffusion_wrapper.py:492``, ``global_rank == 0``
+    at ``:665,925``, ``wandb.run is None`` on nonzero ranks at
+    ``src/main.py:67-69``): console/JSONL logging, validation rendering and
+    checkpoint-pointer publication run once per job, not once per host."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def sync_processes(name: str) -> None:
+    """Barrier across processes (no-op single-process). Used around
+    filesystem operations that only rank 0 performs but later ranks depend
+    on (checkpoint directory pre-delete before a collective orbax save)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def maybe_initialize_distributed(env=os.environ) -> bool:
     """Initialize ``jax.distributed`` when the environment requests it.
 

@@ -11,6 +11,17 @@ Argparse sugar (directory vs directory):
 
     python -m mvldm_tpu.scripts.compute_fid --dir-a outputs/run1/video \\
         --dir-b outputs/gt --output outputs/fid.json
+
+Feature extractor resolution (loudest-capability-first; the result keys
+name the extractor so scores are never mistaken for Inception-FID):
+
+1. ``fid_vgg_*``     — LPIPS VGG16 trunk, when converted weights exist.
+2. ``fid_vaefeat_*`` — SD-VAE encoder latents (``--vae-checkpoint`` /
+   ``vae_checkpoint=`` pointing at the reference torch ``.ckpt``); ships
+   with the model, so a learned-feature distance is always producible.
+3. ``fid_vaefeat_randominit_*`` — ``--allow-init-vae`` /
+   ``allow_init_vae=true``: a seed-0 random-init VAE encoder (a fixed
+   random projection). For smoke tests and relative comparisons only.
 """
 
 from __future__ import annotations
@@ -19,8 +30,48 @@ import argparse
 import json
 import sys
 from pathlib import Path
+from typing import Callable, Optional, Tuple
 
-from ..evaluation.fid import fid_between_dirs, vgg_feature_extractor
+from ..evaluation.fid import (
+    fid_between_dirs,
+    vae_feature_extractor,
+    vgg_feature_extractor,
+)
+
+
+def resolve_extractor(
+    lpips_weights: Optional[Path],
+    vae_checkpoint: Optional[Path],
+    allow_init_vae: bool,
+) -> Tuple[Callable, str]:
+    """(extractor, key_prefix) per the module-docstring resolution order."""
+    extractor = vgg_feature_extractor(lpips_weights)
+    if extractor is not None:
+        return extractor, "vgg"
+    if vae_checkpoint is not None:
+        from ..training.checkpoint import load_torch_checkpoint_params
+
+        params = load_torch_checkpoint_params(Path(vae_checkpoint))
+        print(f"FID features: SD-VAE encoder from {vae_checkpoint} "
+              "(fid_vaefeat_*; not Inception-comparable)")
+        return vae_feature_extractor(params["vae"]), "vaefeat"
+    if allow_init_vae:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.vae import AutoencoderKL, AutoencoderKLCfg
+
+        vae = AutoencoderKL(AutoencoderKLCfg())
+        rng = jax.random.PRNGKey(0)
+        params = vae.init(rng, jnp.zeros((1, 64, 64, 3)), rng)["params"]
+        print("FID features: RANDOM-INIT VAE encoder (allow_init_vae) — "
+              "a fixed random projection, relative comparisons only")
+        return vae_feature_extractor(params), "vaefeat_randominit"
+    raise SystemExit(
+        "No feature extractor available: provide converted LPIPS weights "
+        "(utils/lpips_convert.py), --vae-checkpoint <torch .ckpt>, or "
+        "--allow-init-vae / allow_init_vae=true."
+    )
 
 
 def run_hydra(overrides) -> None:
@@ -32,14 +83,16 @@ def run_hydra(overrides) -> None:
             "evaluation.methods is empty — pass e.g. "
             "'evaluation.methods=[{name: ours, key: ours, path: outputs/test}]'"
         )
-    extractor = vgg_feature_extractor(cfg.lpips_weights)
+    extractor, prefix = resolve_extractor(
+        cfg.lpips_weights, cfg.vae_checkpoint, cfg.allow_init_vae
+    )
     fids = {}
     for method in cfg.evaluation.methods:
         r = fid_between_dirs(method.path, cfg.fid_gt_dir, extractor)
         # Keyed like the reference's cleanfid output (fid/kidclean_<key>) but
-        # labeled by the actual extractor (VGG trunk, not Inception).
-        fids[f"fid_vgg_{method.key}"] = r["fid"]
-        fids[f"kid_vgg_{method.key}"] = r["kid"]
+        # labeled by the actual extractor (never Inception).
+        fids[f"fid_{prefix}_{method.key}"] = r["fid"]
+        fids[f"kid_{prefix}_{method.key}"] = r["kid"]
     cfg.output_fid_path.parent.mkdir(parents=True, exist_ok=True)
     cfg.output_fid_path.write_text(json.dumps(fids, indent=2))
     print(json.dumps(fids, indent=2))
@@ -51,10 +104,15 @@ def run_argparse(argv) -> None:
     parser.add_argument("--dir-b", type=Path, required=True)
     parser.add_argument("--output", type=Path, default=Path("outputs/fid.json"))
     parser.add_argument("--lpips-weights", type=Path, default=None)
+    parser.add_argument("--vae-checkpoint", type=Path, default=None)
+    parser.add_argument("--allow-init-vae", action="store_true")
     args = parser.parse_args(argv)
 
-    extractor = vgg_feature_extractor(args.lpips_weights)
+    extractor, prefix = resolve_extractor(
+        args.lpips_weights, args.vae_checkpoint, args.allow_init_vae
+    )
     results = fid_between_dirs(args.dir_a, args.dir_b, extractor)
+    results["extractor"] = prefix
     args.output.parent.mkdir(parents=True, exist_ok=True)
     args.output.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))

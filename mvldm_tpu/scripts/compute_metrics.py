@@ -55,6 +55,11 @@ class ComputeMetricsCfg:
     fid_gt_dir: Path = Path("gt_images")
     limit_test_batches: Optional[int] = 32
     lpips_weights: Optional[Path] = None
+    # FID fallback extractors (scripts/compute_fid.py): SD-VAE encoder
+    # features from the reference torch checkpoint, or a seed-0 random-init
+    # VAE (smoke tests / relative comparisons only).
+    vae_checkpoint: Optional[Path] = None
+    allow_init_vae: bool = False
 
 
 def load_compute_metrics_cfg(overrides) -> ComputeMetricsCfg:

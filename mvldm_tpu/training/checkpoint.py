@@ -17,18 +17,25 @@ from typing import Any, Dict, Optional
 import numpy as np
 import orbax.checkpoint as ocp
 
+from ..parallel.distributed import is_main_process, sync_processes
+
 
 class CheckpointManager:
     """Async saves: ``StandardCheckpointer`` is an ``AsyncCheckpointer``, so
-    ``save()`` returns as soon as the write is scheduled (the state tree is
-    already host numpy at the call sites) and the multi-GB serialization
-    overlaps the next ~1000 train steps instead of stalling them. The
-    ``last.json`` pointer and top-k pruning for a step are FINALIZED only
-    after its write commits — on the next ``save()`` or an explicit
-    ``flush()`` — so a crash mid-write can never leave ``last.json``
-    pointing at a torn checkpoint (orbax writes the step dir atomically via
-    a tmp dir + rename; ``latest_step`` additionally falls back past the
-    pointer if the dir is gone)."""
+    ``save()`` returns as soon as the device->host copy completes and the
+    multi-GB serialization overlaps the next ~1000 train steps instead of
+    stalling them. The ``last.json`` pointer and top-k pruning for a step
+    are FINALIZED only after its write commits — on the next ``save()`` or
+    an explicit ``flush()`` — so a crash mid-write can never leave
+    ``last.json`` pointing at a torn checkpoint (orbax writes the step dir
+    atomically via a tmp dir + rename; ``latest_step`` additionally falls
+    back past the pointer if the dir is gone).
+
+    Multi-process: ``save``/``restore``/``flush`` are COLLECTIVE — every
+    process calls them with the (globally sharded) state, orbax writes each
+    process's addressable shards, and only rank 0 touches the shared
+    filesystem metadata (pre-delete, ``last.json``, pruning) with barriers
+    ordering the rmtree before the collective write."""
 
     def __init__(self, directory: Path, save_top_k: int = 1):
         self.directory = Path(directory)
@@ -43,8 +50,9 @@ class CheckpointManager:
     def save(self, step: int, state: Dict[str, Any]) -> Path:
         path = self._step_dir(step)
         self.flush()  # previous write committed + finalized
-        if path.exists():
+        if is_main_process() and path.exists():
             shutil.rmtree(path)
+        sync_processes(f"ckpt_pre_save_{step}")
         self._ckpt.save(path.absolute(), state)
         self._pending = step
         return path
@@ -52,15 +60,18 @@ class CheckpointManager:
     def flush(self) -> None:
         """Block until the in-flight save (if any) commits, then publish its
         ``last.json`` pointer and prune. Call at end of training / before
-        restore."""
+        restore. Collective: the wait runs on every process; the pointer
+        write and pruning run once."""
         self._ckpt.wait_until_finished()
         if self._pending is None:
             return
-        (self.directory / "last.json").write_text(
-            json.dumps({"step": self._pending})
-        )
+        if is_main_process():
+            (self.directory / "last.json").write_text(
+                json.dumps({"step": self._pending})
+            )
+            self._prune()
         self._pending = None
-        self._prune()
+        sync_processes("ckpt_flush")
 
     def _prune(self) -> None:
         steps = sorted(self.all_steps())

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.loader import DataModule
 from ..data.view_samplers import StepTracker
 from ..diffusion.engine import Batch, DiffusionEngine
+from ..parallel.distributed import is_main_process
 from ..parallel.mesh import batch_sharding, make_mesh, replicated, zero1_shardings
 from .checkpoint import CheckpointManager
 from .optim import ema_update
@@ -182,6 +183,10 @@ def make_train_step(
         with trace_meshes(mesh, mesh if shard_model_axis else None):
             return jitted[key](state, batch, rng)
 
+    # The Trainer needs the sharding plan outside the step (globalizing the
+    # initial state on multi-host, building sharded restore targets).
+    dispatch.state_shardings = state_shardings
+    dispatch.batch_shardings = batch_shardings
     return dispatch
 
 
@@ -249,16 +254,30 @@ class Trainer:
         )
 
     def maybe_restore(self, state: TrainState) -> TrainState:
-        """Auto-resume from the last checkpoint (reference src/main.py:89-95)."""
+        """Auto-resume from the last checkpoint (reference src/main.py:89-95).
+
+        The restore target is abstract (shape/dtype/sharding), so a
+        globally-sharded TrainState round-trips: each process restores its
+        addressable shards, never materializing non-addressable arrays on
+        the host."""
         latest = self.ckpt.latest_step()
         if latest is None:
             return state
-        print(f"Resuming from checkpoint at step {latest}")
-        target = jax.tree_util.tree_map(np.asarray, state)
-        restored = self.ckpt.restore(latest, target)
-        return jax.tree_util.tree_map(jnp.asarray, restored)
+
+        if is_main_process():
+            print(f"Resuming from checkpoint at step {latest}")
+
+        def abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            return np.asarray(x)
+
+        target = jax.tree_util.tree_map(abstract, state)
+        return self.ckpt.restore(latest, target)
 
     def _log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if not is_main_process():
+            return
         record = {"step": step, **{k: float(v) for k, v in metrics.items()}}
         with open(self.metrics_log, "a") as f:
             f.write(json.dumps(record) + "\n")
@@ -268,6 +287,36 @@ class Trainer:
         end_step = self.max_steps
         if self.task_steps is not None:
             end_step = min(end_step, start_step + self.task_steps)
+
+        # Multi-host: lift the (identically-seeded, process-local) state onto
+        # the global mesh before the first step — jit over a multi-process
+        # mesh requires globally-addressable inputs. Built shard-by-shard
+        # from the host value (every process holds the full tree), so no
+        # cross-host device transfer is needed (unsupported on some
+        # backends, e.g. CPU). Single-process keeps the lazy placement
+        # (jit's in_shardings move the arrays).
+        if self.mesh is not None and jax.process_count() > 1:
+            shardings = self._train_step.state_shardings(
+                state.ema_params is not None
+            )
+
+            def to_global(x, sharding):
+                host = np.asarray(x)
+                return jax.make_array_from_callback(
+                    host.shape, sharding, lambda idx: host[idx]
+                )
+
+            def globalize(sub_sharding, subtree):
+                return jax.tree_util.tree_map(
+                    lambda x: to_global(x, sub_sharding), subtree
+                )
+
+            # shardings is a tree PREFIX of the state (a single sharding may
+            # cover a whole subtree); map prefix-wise.
+            state = jax.tree_util.tree_map(
+                globalize, shardings, state,
+                is_leaf=lambda n: isinstance(n, jax.sharding.Sharding),
+            )
 
         loader = self.data_module.train_dataloader()
         try:
@@ -293,9 +342,25 @@ class Trainer:
         # tracing at all, SURVEY.md §5; set MVLDM_PROFILE_DIR to enable).
         import os
 
-        profile_dir = os.environ.get("MVLDM_PROFILE_DIR")
+        profile_dir = (
+            os.environ.get("MVLDM_PROFILE_DIR") if is_main_process() else None
+        )
         profile_window = (start_step + 10, start_step + 13)
         profiling = False
+
+        # Multi-host: each process's loader yields its host-local stripe
+        # (loader.py host striping); assemble the rows into one global
+        # batch sharded over the data axis. Single-process: plain transfer.
+        if self.mesh is not None and jax.process_count() > 1:
+            data_sh = batch_sharding(self.mesh)
+
+            def to_device(x):
+                return jax.make_array_from_process_local_data(
+                    data_sh, np.asarray(x)
+                )
+        else:
+            to_device = jnp.asarray
+
         for batch_np in loader:
             step = int(state.step)
             if step >= end_step:
@@ -311,12 +376,12 @@ class Trainer:
                 self.step_tracker.set_step(step)
 
             batch = batch_from_arrays(
-                jnp.asarray(batch_np["context"]["image"]),
-                jnp.asarray(batch_np["target"]["image"]),
-                jnp.asarray(batch_np["context"]["extrinsics"]),
-                jnp.asarray(batch_np["target"]["extrinsics"]),
-                jnp.asarray(batch_np["context"]["intrinsics"]),
-                jnp.asarray(batch_np["target"]["intrinsics"]),
+                to_device(batch_np["context"]["image"]),
+                to_device(batch_np["target"]["image"]),
+                to_device(batch_np["context"]["extrinsics"]),
+                to_device(batch_np["target"]["extrinsics"]),
+                to_device(batch_np["context"]["intrinsics"]),
+                to_device(batch_np["target"]["intrinsics"]),
             )
             step_rng = jax.random.fold_in(rng, step)
             state, metrics = self._train_step(state, batch, step_rng)
@@ -330,22 +395,29 @@ class Trainer:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 metrics["steps_per_sec"] = sps
                 self._log(new_step, metrics)
-                print(
-                    f"step {new_step}: loss={metrics['loss/diffusion']:.5f} "
-                    f"({sps:.2f} it/s)"
-                )
+                if is_main_process():
+                    print(
+                        f"step {new_step}: loss={metrics['loss/diffusion']:.5f} "
+                        f"({sps:.2f} it/s)"
+                    )
                 t0 = time.perf_counter()
                 window = 0
 
             if new_step % self.checkpoint_every == 0 or new_step == end_step:
-                self.ckpt.save(
-                    new_step, jax.tree_util.tree_map(np.asarray, state)
-                )
+                # Collective: the (possibly globally sharded) state goes to
+                # orbax directly — each process serializes its addressable
+                # shards; the async save copies device->host before
+                # returning, so the next step's buffer donation is safe.
+                self.ckpt.save(new_step, state)
 
             if (
                 self.val_hook is not None
                 and self.val_check_interval
                 and new_step % self.val_check_interval == 0
+                and is_main_process()
+                # The val hook renders/samples process-locally and writes
+                # PNGs; run it once per job (reference rank_zero_only,
+                # diffusion_wrapper.py:492).
             ):
                 self.val_hook(state, new_step)
         if profiling:

@@ -164,3 +164,64 @@ class TestRegistry:
         assert isinstance(sch, DDIMScheduler)
         assert sch.num_inference_steps == 70
         assert not sch.clip_sample
+
+
+class TestHardCodedGoldens:
+    """Regression goldens with literal values derived INDEPENDENTLY of the
+    implementation (float64 direct product loop over
+    beta_t = 1e-4 + (0.02 - 1e-4) * t / 999, abar_t = prod_{i<=t}(1 - beta_i);
+    DDIM step by the closed form of Song et al. eq. 12 with eta=0).
+    Self-consistency tests cannot catch a formula edit that shifts the whole
+    schedule; these literals can."""
+
+    def test_alpha_bar_literals(self):
+        sched = DDIMScheduler.create(LIVE_KW, num_inference_steps=25)
+        abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+        # abar_0 = 1 - 1e-4
+        np.testing.assert_allclose(abar[0], 0.9999, rtol=1e-6)
+        # abar_1 = (1 - 1e-4) * (1 - (1e-4 + 0.0199/999))
+        np.testing.assert_allclose(abar[1], 0.9997800920720721, rtol=1e-6)
+        np.testing.assert_allclose(abar[500], 0.07779665836502386, rtol=1e-5)
+        np.testing.assert_allclose(abar[999], 4.0358297653756754e-05, rtol=1e-4)
+        # set_alpha_to_one: the final-step denominator is exactly 1.
+        assert float(sched.final_alpha_cumprod) == 1.0
+
+    def test_leading_timesteps_25_literal(self):
+        # step_ratio = 1000 // 25 = 40: descending multiples of 40 from 960.
+        sched = DDIMScheduler.create(LIVE_KW, num_inference_steps=25)
+        expected = [
+            960, 920, 880, 840, 800, 760, 720, 680, 640, 600, 560, 520,
+            480, 440, 400, 360, 320, 280, 240, 200, 160, 120, 80, 40, 0,
+        ]
+        assert sched.timesteps().tolist() == expected
+
+    def test_ddim_step_literal(self):
+        """One epsilon-prediction step at t=960 (25-step schedule, prev=920)
+        on pinned scalars x=1.0, model_output=0.5:
+          x0   = (1 - sqrt(1-abar_960)*0.5) / sqrt(abar_960) = 53.48116255...
+          prev = sqrt(abar_920)*x0 + sqrt(1-abar_920)*0.5    = 1.23133728...
+        (abar_960 = 8.741305391e-05, abar_920 = 1.8702052817e-04)."""
+        sched = DDIMScheduler.create(LIVE_KW, num_inference_steps=25)
+        x = jnp.full((1, 2, 2, 1), 1.0)
+        eps = jnp.full((1, 2, 2, 1), 0.5)
+        prev = np.asarray(sched.step(eps, 960, x))
+        np.testing.assert_allclose(prev, 1.2313372821957966, rtol=2e-4)
+
+    def test_ddim_final_step_literal(self):
+        """t=0 -> prev_t < 0 -> alpha_prev = 1 (set_alpha_to_one), so the
+        output IS pred_x0 = (1 - sqrt(1-0.9999)*0.5)/sqrt(0.9999)."""
+        sched = DDIMScheduler.create(LIVE_KW, num_inference_steps=25)
+        x = jnp.full((3,), 1.0)
+        eps = jnp.full((3,), 0.5)
+        prev = np.asarray(sched.step(eps, 0, x))
+        np.testing.assert_allclose(prev, 0.9950497537315612, rtol=1e-5)
+
+    def test_add_noise_literal(self):
+        """add_noise(1.0, 0.5, t=500) = sqrt(abar_500) + sqrt(1-abar_500)*0.5."""
+        sched = DDIMScheduler.create(LIVE_KW, num_inference_steps=25)
+        out = np.asarray(
+            sched.add_noise(
+                jnp.ones((1, 4)), jnp.full((1, 4), 0.5), jnp.asarray([500])
+            )
+        )
+        np.testing.assert_allclose(out, 0.7590776178948713, rtol=1e-5)
