@@ -152,12 +152,16 @@ def bench_train() -> None:
     import os
 
     b = int(os.environ.get("MVLDM_TRAIN_BENCH_BATCH", "1"))
+    # MVLDM_TRAIN_BENCH_LP=1: store BOTH AdamW moments in bf16 (stochastic-
+    # rounding storage, training/optim.scale_by_adam_lp) — frees ~1.9 GB of
+    # the 16 GB chip and trims the bandwidth-bound optimizer apply.
+    lp = os.environ.get("MVLDM_TRAIN_BENCH_LP", "0") == "1"
+    kwargs = {"mu_dtype": "bfloat16"}
+    if lp:
+        kwargs["nu_dtype"] = "bfloat16"
     engine, unet_params, vae_params = build_flagship(remat=True)
     tx = build_optimizer(
-        OptimizerCfg(
-            name="AdamW", lr=2e-5, scale_lr=False,
-            kwargs={"mu_dtype": "bfloat16"},
-        ),
+        OptimizerCfg(name="AdamW", lr=2e-5, scale_lr=False, kwargs=kwargs),
         build_lr_schedule(2e-5, None),
         gradient_clip_val=0.1,
     )
@@ -205,8 +209,8 @@ def bench_train() -> None:
         "metric": "train_steps_per_sec_per_chip",
         "value": round(1.0 / dt, 4),
         "unit": (
-            f"steps/s (batch {b}, 5 views, 256px, block remat, bf16 mu, "
-            "AdamW)"
+            f"steps/s (batch {b}, 5 views, 256px, block remat, "
+            f"{'bf16 mu+nu' if lp else 'bf16 mu'}, AdamW)"
         ),
     }
     if b in r3_steps_per_sec:

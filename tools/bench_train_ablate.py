@@ -32,6 +32,7 @@ PROBES = (
     "fwd_noremat",
     "fwd_bwd_noremat",
     "opt_apply",
+    "opt_apply_lp",  # both moments bf16 (stochastic-rounding storage)
     "vae_encode",
 )
 
@@ -82,12 +83,15 @@ def run_probe(probe: str, b: int) -> float:
     remat = probe.endswith("_remat")
     engine, unet_params, vae_params = bench.build_flagship(remat=remat)
 
-    if probe == "opt_apply":
+    if probe.startswith("opt_apply"):
         # AdamW + clip on a fixed grad tree; donate state+params so the
         # chain updates in place (two extra 5.5G trees would OOM the chip).
+        kwargs = {"mu_dtype": "bfloat16"}
+        if probe == "opt_apply_lp":
+            kwargs["nu_dtype"] = "bfloat16"
         tx = build_optimizer(
             OptimizerCfg(name="AdamW", lr=2e-5, scale_lr=False,
-                         kwargs={"mu_dtype": "bfloat16"}),
+                         kwargs=kwargs),
             build_lr_schedule(2e-5, None),
             gradient_clip_val=0.1,
         )
