@@ -156,6 +156,10 @@ def bench_train() -> None:
     # rounding storage, training/optim.scale_by_adam_lp) — frees ~1.9 GB of
     # the 16 GB chip and trims the bandwidth-bound optimizer apply.
     lp = os.environ.get("MVLDM_TRAIN_BENCH_LP", "0") == "1"
+    # MVLDM_TRAIN_BENCH_LATENTS=1: feed precomputed VAE posterior moments
+    # (the dataset.latent_cache training path, data/latent_cache.py) instead
+    # of pixels — drops the frozen-VAE encode from every step.
+    latents = os.environ.get("MVLDM_TRAIN_BENCH_LATENTS", "0") == "1"
     kwargs = {"mu_dtype": "bfloat16"}
     if lp:
         kwargs["nu_dtype"] = "bfloat16"
@@ -168,6 +172,26 @@ def bench_train() -> None:
     step_fn = make_train_step(engine, tx, vae_params, num_context_views=2)
 
     batch = make_train_batch(b)
+    if latents:
+        from mvldm_tpu.diffusion.engine import Batch
+        from mvldm_tpu.models.vae import AutoencoderKL
+
+        bb, v, h, w, _ = batch.images.shape
+        flat = batch.images.reshape(bb * v, h, w, 3) * 2.0 - 1.0
+        dist = engine.vae.apply(
+            {"params": vae_params}, flat.astype(jnp.bfloat16),
+            method=AutoencoderKL.encode,
+        )
+        moments = jnp.concatenate(
+            [dist.mean, dist.logvar], axis=-1
+        ).astype(jnp.float32)
+        batch = Batch(
+            images=None,
+            extrinsics=batch.extrinsics,
+            intrinsics=batch.intrinsics,
+            is_target=batch.is_target,
+            latent_moments=moments.reshape(bb, v, *moments.shape[1:]),
+        )
     state = TrainState(
         params=unet_params,
         opt_state=tx.init(unet_params),
@@ -210,10 +234,13 @@ def bench_train() -> None:
         "value": round(1.0 / dt, 4),
         "unit": (
             f"steps/s (batch {b}, 5 views, 256px, block remat, "
-            f"{'bf16 mu+nu' if lp else 'bf16 mu'}, AdamW)"
+            f"{'bf16 mu+nu' if lp else 'bf16 mu'}, AdamW"
+            f"{', latent-cache inputs' if latents else ''})"
         ),
     }
-    if b in r3_steps_per_sec:
+    if b in r3_steps_per_sec and not latents:
+        # Latent-cache runs skip the ratio: r3 measured the image path, and
+        # mixing protocols in one ratio is how r3's Weak #5 happened.
         record["vs_baseline"] = round((1.0 / dt) / r3_steps_per_sec[b], 4)
     if step_flops is not None:
         achieved = step_flops / dt

@@ -58,14 +58,20 @@ def collate(examples: List[Example]) -> Dict[str, Any]:
     (``BatchedExample``), NHWC."""
 
     def stack_views(views):
-        return {
-            "image": np.stack([v.image for v in views]),
+        out = {
             "extrinsics": np.stack([v.extrinsics for v in views]),
             "intrinsics": np.stack([v.intrinsics for v in views]),
             "near": np.stack([v.near for v in views]),
             "far": np.stack([v.far for v in views]),
             "index": np.stack([v.index for v in views]),
         }
+        if views[0].image is not None:
+            out["image"] = np.stack([v.image for v in views])
+        if views[0].latent_moments is not None:
+            out["latent_moments"] = np.stack(
+                [v.latent_moments for v in views]
+            )
+        return out
 
     batch = {
         "context": stack_views([e.context for e in examples]),

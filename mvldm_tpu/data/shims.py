@@ -8,6 +8,7 @@ comparisons drift otherwise (SURVEY.md §7 hard part 6).
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Optional, Tuple
 
 import numpy as np
@@ -58,16 +59,28 @@ def rescale_and_crop(
     return center_crop(scaled, intrinsics, shape)
 
 
+def crop_shim_intrinsics(
+    intrinsics: np.ndarray, in_shape: Tuple[int, int], out_shape: Tuple[int, int]
+) -> np.ndarray:
+    """The intrinsics side of :func:`rescale_and_crop` alone — a pure
+    function of the input/output shapes (scale-to-cover then center-crop),
+    used by the latent-cache path where no pixels exist to resize."""
+    h_in, w_in = in_shape
+    h_out, w_out = out_shape
+    assert h_out <= h_in and w_out <= w_in
+    scale_factor = max(h_out / h_in, w_out / w_in)
+    h_scaled = round(h_in * scale_factor)
+    w_scaled = round(w_in * scale_factor)
+    assert h_scaled == h_out or w_scaled == w_out
+    intrinsics = intrinsics.copy()
+    intrinsics[..., 0, 0] *= w_scaled / w_out
+    intrinsics[..., 1, 1] *= h_scaled / h_out
+    return intrinsics
+
+
 def apply_crop_shim_to_views(views: Views, shape: Tuple[int, int]) -> Views:
     images, intrinsics = rescale_and_crop(views.image, views.intrinsics, shape)
-    return Views(
-        image=images,
-        extrinsics=views.extrinsics,
-        intrinsics=intrinsics,
-        near=views.near,
-        far=views.far,
-        index=views.index,
-    )
+    return replace(views, image=images, intrinsics=intrinsics)
 
 
 def apply_crop_shim(example: Example, shape: Tuple[int, int]) -> Example:
@@ -91,13 +104,10 @@ def reflect_extrinsics(extrinsics: np.ndarray) -> np.ndarray:
 
 
 def _reflect_views(views: Views) -> Views:
-    return Views(
+    return replace(
+        views,
         image=views.image[..., :, ::-1, :].copy(),
         extrinsics=reflect_extrinsics(views.extrinsics),
-        intrinsics=views.intrinsics,
-        near=views.near,
-        far=views.far,
-        index=views.index,
     )
 
 
@@ -143,13 +153,8 @@ def apply_random_transform_shim(
     tform[:3, 3] = rng.normal(scale=translation_scale, size=3)
 
     def tfm(views: Views) -> Views:
-        return Views(
-            image=views.image,
-            extrinsics=(tform @ views.extrinsics).astype(np.float32),
-            intrinsics=views.intrinsics,
-            near=views.near,
-            far=views.far,
-            index=views.index,
+        return replace(
+            views, extrinsics=(tform @ views.extrinsics).astype(np.float32)
         )
 
     return Example(

@@ -111,16 +111,21 @@ class Batch:
 
     images: (b, v, h, w, 3) in [0, 1]; extrinsics: (b, v, 4, 4) c2w;
     intrinsics: (b, v, 3, 3) normalized; is_target: (b, v) bool.
+    latent_moments: optional (b, v, h/8, w/8, 2c) precomputed VAE posterior
+    moments (data/latent_cache.py); when set, the training loss samples
+    latents from them instead of encoding ``images`` (which may then be
+    None — the latent-cache pipeline never decodes pixels).
     """
 
-    images: Array
+    images: Optional[Array]
     extrinsics: Array
     intrinsics: Array
     is_target: Array
+    latent_moments: Optional[Array] = None
 
     @property
     def num_views(self) -> int:
-        return self.images.shape[1]
+        return self.extrinsics.shape[1]
 
 
 class DiffusionEngine:
@@ -250,7 +255,7 @@ class DiffusionEngine:
         randomly flipped to target (reference ``sample_indices``).
         """
         cfg = self.cfg
-        b, v = batch.images.shape[:2]
+        b, v = batch.extrinsics.shape[:2]
         v_c = num_context_views
         keys = jax.random.split(rng, 6)
 
@@ -278,7 +283,19 @@ class DiffusionEngine:
         )
 
         # --- VAE encode all views (frozen: stop_gradient; reference :356-359).
-        latents = self.encode_images(vae_params, batch.images, keys[3])
+        # With precomputed posterior moments (latent_cache), the per-step
+        # sample z = mean + std*eps is drawn from the SAME DiagonalGaussian
+        # the encoder would produce — identical training distribution, no
+        # encoder flops in the step.
+        if batch.latent_moments is not None:
+            from ..models.vae import DiagonalGaussian
+
+            moments = batch.latent_moments.astype(self.dtype)
+            flat = moments.reshape(b * v, *moments.shape[2:])
+            z = DiagonalGaussian(flat).sample(keys[3]) * VAE_SCALE
+            latents = z.reshape(b, v, *z.shape[1:])
+        else:
+            latents = self.encode_images(vae_params, batch.images, keys[3])
         latents = jax.lax.stop_gradient(latents)
         hl, wl = latents.shape[2:4]
 

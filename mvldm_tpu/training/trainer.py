@@ -41,18 +41,26 @@ class TrainState:
 
 
 def batch_from_arrays(context_img, target_img, context_extr, target_extr,
-                      context_intr, target_intr) -> Batch:
-    """Concatenate context+target views into the engine's role-vector Batch."""
-    images = jnp.concatenate([context_img, target_img], axis=1)
+                      context_intr, target_intr,
+                      context_latents=None, target_latents=None) -> Batch:
+    """Concatenate context+target views into the engine's role-vector Batch.
+    Pass ``*_latents`` (precomputed VAE posterior moments) instead of — or in
+    addition to — images for the latent-cache training path."""
+    images = None
+    if context_img is not None:
+        images = jnp.concatenate([context_img, target_img], axis=1)
+    latents = None
+    if context_latents is not None:
+        latents = jnp.concatenate([context_latents, target_latents], axis=1)
     extr = jnp.concatenate([context_extr, target_extr], axis=1)
     intr = jnp.concatenate([context_intr, target_intr], axis=1)
-    b, v_c = context_img.shape[:2]
-    v_t = target_img.shape[1]
+    b, v_c = context_extr.shape[:2]
+    v_t = target_extr.shape[1]
     is_target = jnp.concatenate(
         [jnp.zeros((b, v_c), bool), jnp.ones((b, v_t), bool)], axis=1
     )
     return Batch(images=images, extrinsics=extr, intrinsics=intr,
-                 is_target=is_target)
+                 is_target=is_target, latent_moments=latents)
 
 
 def make_train_step(
@@ -121,8 +129,10 @@ def make_train_step(
 
     repl = replicated(mesh)
     data = batch_sharding(mesh)
-    batch_shardings = Batch(images=data, extrinsics=data, intrinsics=data,
-                            is_target=data)
+    # A single P("data") sharding broadcast over every Batch leaf (all are
+    # batch-leading), so image-fed and latent-cache batches — whose optional
+    # fields give different pytree structures — share one spec.
+    batch_shardings = data
 
     opt_sharding: Any = repl
     if shard_optimizer_states or shard_params:
@@ -375,13 +385,17 @@ class Trainer:
             if self.step_tracker is not None:
                 self.step_tracker.set_step(step)
 
+            ctx, tgt = batch_np["context"], batch_np["target"]
+            has_latents = "latent_moments" in ctx
             batch = batch_from_arrays(
-                to_device(batch_np["context"]["image"]),
-                to_device(batch_np["target"]["image"]),
-                to_device(batch_np["context"]["extrinsics"]),
-                to_device(batch_np["target"]["extrinsics"]),
-                to_device(batch_np["context"]["intrinsics"]),
-                to_device(batch_np["target"]["intrinsics"]),
+                to_device(ctx["image"]) if "image" in ctx else None,
+                to_device(tgt["image"]) if "image" in tgt else None,
+                to_device(ctx["extrinsics"]),
+                to_device(tgt["extrinsics"]),
+                to_device(ctx["intrinsics"]),
+                to_device(tgt["intrinsics"]),
+                to_device(ctx["latent_moments"]) if has_latents else None,
+                to_device(tgt["latent_moments"]) if has_latents else None,
             )
             step_rng = jax.random.fold_in(rng, step)
             state, metrics = self._train_step(state, batch, step_rng)
