@@ -70,7 +70,8 @@ class DatasetRE10kV2(DatasetRE10k):
             raise ValueError(f"Scene {scene} exceeds max FOV")
         [view_index] = self.view_sampler.sample(scene, num_views)
         result = self._build_example(
-            scene, example, extrinsics, intrinsics, view_index
+            scene, example, extrinsics, intrinsics, view_index,
+            chunk_stem=Path(self.scene_to_chunk[scene]).stem,
         )
         if result is None:
             raise ValueError(f"Scene {scene} failed example construction")

@@ -136,9 +136,16 @@ def run(cfg: PrecomputeLatentsCfg) -> None:
     image_shape = tuple(cfg.dataset.image_shape)
     n_flips = 1 if cfg.no_flip else 2
 
+    import jax
+
     for stage in cfg.stages:
         root = Path(cfg.dataset.root) / stage
         chunks = sorted(p for p in root.iterdir() if p.suffix == ".torch")
+        # Multi-host: stripe chunks across processes (each host encodes on
+        # its own chips and writes disjoint files; loader.py stripes the
+        # same way at train time).
+        if jax.process_count() > 1:
+            chunks = chunks[jax.process_index() :: jax.process_count()]
         n_scenes = n_frames = 0
         for chunk_path in chunks:
             target = cache_file(out, stage, chunk_path.stem)
@@ -179,8 +186,9 @@ def run(cfg: PrecomputeLatentsCfg) -> None:
             print(
                 f"[{stage}] {chunk_path.stem}: {len(scenes)} scenes -> {target}"
             )
-        write_meta(out, stage, image_shape, latent_channels, n_flips,
-                   fingerprint)
+        if jax.process_index() == 0:  # one writer; content is static
+            write_meta(out, stage, image_shape, latent_channels, n_flips,
+                       fingerprint)
         print(
             f"[{stage}] done: {n_scenes} scenes / {n_frames} frames; "
             f"train with dataset.latent_cache={out}"

@@ -181,6 +181,24 @@ class TestDatasetLatentPath:
         got = crop_shim_intrinsics(intr, (360, 640), IMAGE_SHAPE)
         np.testing.assert_allclose(got, want, rtol=1e-6)
 
+    def test_re10kv2_latent_path(self, cache_setup):
+        """The map-style dataset resolves the chunk stem through its
+        scene->chunk index when serving cached latents."""
+        from mvldm_tpu.data.dataset_re10kv2 import DatasetRE10kV2
+
+        data_root, out, _ = cache_setup
+        ds = DatasetRE10kV2(
+            dataset_cfg(data_root, latent_cache=out),
+            "train",
+            bounded_sampler(2),
+            rng=np.random.default_rng(2),
+        )
+        ex = ds[0]
+        assert ex.context.image is None
+        assert ex.context.latent_moments.shape[1:] == (
+            8, 8, 2 * TINY_VAE.latent_channels,
+        )
+
     def test_collate_latent_batches(self, cache_setup):
         data_root, out, _ = cache_setup
         ds = DatasetRE10k(
