@@ -57,7 +57,7 @@ NUM_STEPS = 25
 IMAGE_HW = 256
 
 
-def build_flagship(remat: bool = False):
+def build_flagship(remat: bool = False, remat_policy: str | None = None):
     from mvldm_tpu.diffusion.engine import DiffusionEngine, ModelCfg, unet_in_channels
     from mvldm_tpu.diffusion.schedulers import DDIMScheduler, DDIMSchedulerKwargs
     from mvldm_tpu.models.mv_attention import SpatialTransformer3DCfg
@@ -77,7 +77,7 @@ def build_flagship(remat: bool = False):
     assert in_ch == 11
     dtype = jnp.bfloat16
     unet = MultiViewUNet(model_cfg.denoiser, in_channels=in_ch, out_channels=4,
-                         dtype=dtype, remat=remat)
+                         dtype=dtype, remat=remat, remat_policy=remat_policy)
     vae = AutoencoderKL(model_cfg.autoencoder.kwargs, dtype=dtype)
     scheduler = DDIMScheduler.create(
         DDIMSchedulerKwargs(clip_sample=False, prediction_type="epsilon"),
@@ -160,10 +160,18 @@ def bench_train() -> None:
     # (the dataset.latent_cache training path, data/latent_cache.py) instead
     # of pixels — drops the frozen-VAE encode from every step.
     latents = os.environ.get("MVLDM_TRAIN_BENCH_LATENTS", "0") == "1"
+    # MVLDM_TRAIN_BENCH_NOREMAT=1: disable block rematerialization (no
+    # recompute in the backward; only fits at small batch / latent inputs).
+    noremat = os.environ.get("MVLDM_TRAIN_BENCH_NOREMAT", "0") == "1"
+    # MVLDM_TRAIN_BENCH_REMAT_POLICY=dots: save matmul/conv outputs inside
+    # remat blocks, recompute only elementwise work (trainer.remat_policy).
+    remat_policy = os.environ.get("MVLDM_TRAIN_BENCH_REMAT_POLICY") or None
     kwargs = {"mu_dtype": "bfloat16"}
     if lp:
         kwargs["nu_dtype"] = "bfloat16"
-    engine, unet_params, vae_params = build_flagship(remat=True)
+    engine, unet_params, vae_params = build_flagship(
+        remat=not noremat, remat_policy=remat_policy
+    )
     tx = build_optimizer(
         OptimizerCfg(name="AdamW", lr=2e-5, scale_lr=False, kwargs=kwargs),
         build_lr_schedule(2e-5, None),
@@ -233,12 +241,14 @@ def bench_train() -> None:
         "metric": "train_steps_per_sec_per_chip",
         "value": round(1.0 / dt, 4),
         "unit": (
-            f"steps/s (batch {b}, 5 views, 256px, block remat, "
+            f"steps/s (batch {b}, 5 views, 256px, "
+            f"{'no remat' if noremat else 'block remat'}"
+            f"{f' policy={remat_policy}' if remat_policy else ''}, "
             f"{'bf16 mu+nu' if lp else 'bf16 mu'}, AdamW"
             f"{', latent-cache inputs' if latents else ''})"
         ),
     }
-    if b in r3_steps_per_sec and not latents:
+    if b in r3_steps_per_sec and not (latents or noremat or remat_policy):
         # Latent-cache runs skip the ratio: r3 measured the image path, and
         # mixing protocols in one ratio is how r3's Weak #5 happened.
         record["vs_baseline"] = round((1.0 / dt) / r3_steps_per_sec[b], 4)

@@ -44,6 +44,7 @@ def build_engine(cfg: RootCfg, dtype: Optional[jnp.dtype] = None) -> DiffusionEn
         out_channels=latent_ch,
         dtype=dtype,
         remat=cfg.trainer.remat,
+        remat_policy=cfg.trainer.remat_policy,
     )
     vae = AutoencoderKL(model_cfg.autoencoder.kwargs, dtype=dtype)
     scheduler = get_scheduler(model_cfg.scheduler)

@@ -132,6 +132,9 @@ class TrainerCfg:
     # ~33% extra step FLOPs for a large activation-memory cut. No reference
     # counterpart (torch would use gradient checkpointing).
     remat: bool = False
+    # Remat policy: null = recompute everything per block; "dots" saves
+    # matmul/conv outputs and recomputes only elementwise work.
+    remat_policy: Optional[str] = None
 
 
 ViewSamplerCfgUnion = Union[

@@ -2,12 +2,15 @@
 
 The VAE is frozen during training (reference ``diffusion_wrapper.py:356-359``
 encodes under ``no_grad`` every step), so its encode is a pure function of the
-(crop-shimmed) frame — recomputing it every train step spends ~35% of the
-step time re-deriving constants (BENCHMARKS.md training table: the encode is
-~114 ms of a ~330 ms batch-3 step on one v5e chip). This module implements
-the TPU-first alternative the reference lacks: encode every frame ONCE
-(``scripts/precompute_latents.py``), store the posterior *moments* (mean ‖
-logvar, f16), and train directly on latents.
+(crop-shimmed) frame — recomputing it every step re-derives constants. This
+module implements the TPU-first alternative the reference lacks: encode every
+frame ONCE (``scripts/precompute_latents.py``), store the posterior *moments*
+(mean ‖ logvar, f16), and train directly on latents. Measured on one v5e
+chip (BENCHMARKS.md): +10% step rate at batch 4 (the win is encoder
+activation-memory relief near the remat cliff more than the ~3% encode
+FLOPs), and the input pipeline drops JPEG decode, LANCZOS resize, and 12×
+of per-example host→device bytes (16 KB f16 moments vs 192 KB uint8 pixels
+per 256px view).
 
 Storing moments — not samples — keeps training semantics exactly equal to
 per-step encoding: the train step still draws a fresh latent sample

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from typing import Literal, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -111,6 +112,10 @@ class MultiViewUNet(nn.Module):
     # jax.checkpoint does NOT reduce peak - the recomputed forward must hold
     # the same intermediates). Parameter structure is unchanged.
     remat: bool = False
+    # Optional jax.checkpoint policy for the block remat: "dots" saves
+    # matmul/conv outputs and recomputes only the cheap elementwise work
+    # (less recompute FLOPs, more activation memory than full remat).
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -157,10 +162,19 @@ class MultiViewUNet(nn.Module):
         )(hidden)
 
         if self.remat:
-            Resnet = nn.remat(ResnetBlock)
-            SDAttn = nn.remat(Transformer2D)
-            CrossView3D = nn.remat(SpatialTransformer3D)
-            CrossViewStd = nn.remat(StandardTransformer)
+            kw = {}
+            if self.remat_policy == "dots":
+                kw["policy"] = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
+            elif self.remat_policy is not None:
+                raise ValueError(
+                    f"Unknown remat_policy {self.remat_policy!r}"
+                )
+            Resnet = nn.remat(ResnetBlock, **kw)
+            SDAttn = nn.remat(Transformer2D, **kw)
+            CrossView3D = nn.remat(SpatialTransformer3D, **kw)
+            CrossViewStd = nn.remat(StandardTransformer, **kw)
         else:
             Resnet, SDAttn = ResnetBlock, Transformer2D
             CrossView3D, CrossViewStd = SpatialTransformer3D, StandardTransformer

@@ -6,7 +6,7 @@ the dataset chunks once, encodes every frame (and its x-flipped variant, for
 the 50% reflection augmentation) on the accelerator, and writes the posterior
 moments to ``data/latent_cache.py``'s layout. Training then runs with
 ``dataset.latent_cache=<out>`` and never decodes a JPEG or touches the VAE
-encoder again — worth ~35% of the single-chip train step (BENCHMARKS.md).
+encoder again (measured effect: see the latent-cache note in BENCHMARKS.md).
 
     python -m mvldm_tpu.scripts.precompute_latents dataset.root=<path> \\
         checkpointing.load=<torch .ckpt> [out=<cache dir>] [stages=[train]]

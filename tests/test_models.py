@@ -88,6 +88,46 @@ class TestMultiViewUNet:
         nonzero = sum(bool(jnp.any(l != 0)) for l in leaves)
         assert nonzero > len(leaves) * 0.5
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("policy", [None, "dots"])
+    def test_remat_matches_no_remat(self, policy):
+        """Block remat (either policy) is a memory/recompute trade only —
+        forward outputs and gradients must match the plain model."""
+        cfg = tiny_unet_cfg()
+        model, params, x, t = init_unet(cfg)
+        rematted = MultiViewUNet(
+            cfg, in_channels=11, out_channels=4, remat=True,
+            remat_policy=policy,
+        )
+        out = model.apply(params, x, t)
+        out_r = rematted.apply(params, x, t)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_r), atol=1e-6
+        )
+
+        def loss(m):
+            return lambda p: jnp.mean(m.apply(p, x, t) ** 2)
+
+        g = jax.grad(loss(model))(params)
+        g_r = jax.grad(loss(rematted))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
+    def test_unknown_remat_policy_raises(self):
+        cfg = tiny_unet_cfg()
+        model = MultiViewUNet(
+            cfg, in_channels=11, out_channels=4, remat=True,
+            remat_policy="nope",
+        )
+        x = jnp.zeros((1, 2, 16, 16, 11))
+        t = jnp.zeros((1, 2), dtype=jnp.int32)
+        with pytest.raises(ValueError, match="remat_policy"):
+            model.init(jax.random.PRNGKey(0), x, t)
+
 
 class TestSpatialTransformer3D:
     def test_identity_at_init(self):
