@@ -34,6 +34,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -270,8 +271,15 @@ def bench_scene_batch(n_scenes: int, mode: str = "anchored") -> None:
     bounded."""
     from mvldm_tpu.diffusion.video_sampling import VideoSampler
 
+    # --latent (autoregressive only): windows feed the previous window's
+    # generated latent forward instead of re-encoding its decoded image
+    # (test.ar_latent_feedthrough production option).
+    latent = "--latent" in sys.argv[1:]
     engine, unet_params, vae_params = build_flagship()
-    sampler = VideoSampler(engine, unet_params, vae_params, num_anchors_views=4)
+    sampler = VideoSampler(
+        engine, unet_params, vae_params, num_anchors_views=4,
+        ar_latent_feedthrough=latent and mode == "autoregressive",
+    )
     scenes = [make_scene(NUM_FRAMES) for _ in range(n_scenes)]
     dispatch = (
         sampler.dispatch_anchored_many
@@ -303,7 +311,10 @@ def bench_scene_batch(n_scenes: int, mode: str = "anchored") -> None:
                 "value": round(fps, 4),
                 "unit": (
                     f"frames/s ({n_scenes}x80-frame scenes per dispatch, "
-                    "25-step DDIM, CFG 3.0, bf16)"
+                    "25-step DDIM, CFG 3.0, bf16"
+                    + (", latent feedthrough"
+                       if sampler.ar_latent_feedthrough else "")
+                    + ")"
                 ),
                 "vs_baseline": round(fps / A100_REFERENCE_FPS, 4),
             }

@@ -87,6 +87,12 @@ class TestCfg:
     # scene-per-chip over a data mesh — multi-chip evaluation scaling with
     # zero cross-device communication.
     scene_batch: int = 1
+    # Autoregressive windows condition on the previous window's generated
+    # LATENT instead of VAE-encoding its decoded image (beyond reference;
+    # see VideoSampler.ar_latent_feedthrough). Removes the per-window
+    # context encode from the sequential chain; deviation: no VAE
+    # decode->encode roundtrip error compounds across windows.
+    ar_latent_feedthrough: bool = False
 
 
 @dataclass

@@ -58,12 +58,14 @@ class VideoSampler:
         num_anchors_views: int = 4,
         group_size: int = 3,
         max_parallel_groups: int = 16,
+        ar_latent_feedthrough: bool = False,
     ):
         self.engine = engine
         self.unet_params = unet_params
         self.vae_params = vae_params
         self.num_anchors = num_anchors_views
         self.group_size = group_size
+        self.ar_latent_feedthrough = ar_latent_feedthrough
         # Fill groups are independent given the anchors, so they run batched
         # along the batch dim (the reference loops them sequentially,
         # ``diffusion_wrapper.py:841-894``) — the single largest throughput
@@ -126,6 +128,41 @@ class VideoSampler:
         self._sample_indexed_scenes = jax.jit(
             sample_u8_indexed_scenes, static_argnames=("num_target_views",)
         )
+
+        # Latent-feedthrough autoregressive launches (opt-in via
+        # ``ar_latent_feedthrough`` / cfg ``test.ar_latent_feedthrough``):
+        # a chained window conditions on the previous window's GENERATED
+        # LATENT directly instead of VAE-encoding its decoded image. This
+        # removes the per-window context encode — both the fed-back frame's
+        # decode->encode roundtrip (the reference re-encodes the decoded
+        # frame every window, ``diffusion_wrapper.py:941-1055``) and the
+        # repeated re-encode of the scene context frame (encoded ONCE per
+        # scene here) — from the device timeline; the decode still runs per
+        # window, for export only. Documented deviation from reference
+        # semantics: the context latent is the denoised latent itself, not
+        # encode(decode(latent)), so no VAE roundtrip error compounds
+        # across windows.
+        def encode_ctx_u8(vae_params, ctx_u8, rng):
+            return engine.encode_images(
+                vae_params, ctx_u8.astype(jnp.float32) / 255.0, rng
+            )
+
+        def sample_latents_fn(unet_params, ctx_latents, extrinsics,
+                              intrinsics, num_target_views, rng):
+            return engine.sample_latents(
+                unet_params, ctx_latents, extrinsics, intrinsics,
+                num_target_views=num_target_views, rng=rng,
+            )
+
+        def decode_u8(vae_params, latents):
+            out = engine.decode_latents(vae_params, latents)
+            return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        self._encode_ctx = jax.jit(encode_ctx_u8)
+        self._sample_latents = jax.jit(
+            sample_latents_fn, static_argnames=("num_target_views",)
+        )
+        self._decode_u8 = jax.jit(decode_u8)
 
     @staticmethod
     def _to_u8(images: np.ndarray) -> np.ndarray:
@@ -683,16 +720,42 @@ class VideoSampler:
         )
         n_initial = min(self.num_anchors, n_t)
         pad_cols = self._pad_cols
-        launch = self._make_launch(tgt_extr, tgt_intr, mesh)
+        feed_latents = self.ar_latent_feedthrough
+
+        if feed_latents:
+            # Scene context encoded once; windows condition on latents.
+            rng, k_enc = jax.random.split(rng)
+            ctx0_lat = self._encode_ctx(self.vae_params, ctx0_u8, k_enc)
+
+            def launch(ctx_lat, c_extr, c_intr, pos_padded, rel_index,
+                       v_t, k):
+                extr = np.concatenate(
+                    [c_extr, tgt_extr[:, pos_padded]], axis=1
+                )
+                intr = np.concatenate(
+                    [c_intr, tgt_intr[:, pos_padded]], axis=1
+                )
+                extr = absolute_to_relative_camera(
+                    self._shard(extr, mesh), rel_index
+                )
+                return self._sample_latents(
+                    self.unet_params, ctx_lat, extr,
+                    self._shard(intr, mesh), num_target_views=v_t, rng=k,
+                )
+        else:
+            launch = self._make_launch(tgt_extr, tgt_intr, mesh)
 
         pending: VideoSampler.ManyPending = []
         rng, k = jax.random.split(rng)
         real = n_initial
-        images = launch(
-            ctx0_u8, ctx_extr, ctx_intr,
+        out = launch(
+            ctx0_lat if feed_latents else ctx0_u8, ctx_extr, ctx_intr,
             pad_cols(np.arange(n_initial), self.num_anchors),
             rel_index=0, v_t=self.num_anchors, k=k,
-        )  # (S, num_anchors, h, w, 3)
+        )  # (S, num_anchors, h, w, 3) images, or latents when feeding
+        images = (
+            self._decode_u8(self.vae_params, out) if feed_latents else out
+        )
         self._submit(
             pending, images,
             [(sc * self.num_anchors + i, sc, int(targets[sc].index[i]))
@@ -701,14 +764,15 @@ class VideoSampler:
         )
 
         last_pos = n_initial - 1
-        last_image = images[:, real - 1]  # (S, h, w, 3)
+        last = out[:, real - 1]  # (S, h, w, 3) image or (S, hl, wl, 4) latent
         start = n_initial
         while start < n_t:
             end = min(start + self.group_size, n_t)
             rng, k = jax.random.split(rng)
-            ctx2_u8 = jnp.concatenate(
-                [ctx0_u8, last_image[:, None]], axis=1
-            )
+            if feed_latents:
+                ctx2 = jnp.concatenate([ctx0_lat, last[:, None]], axis=1)
+            else:
+                ctx2 = jnp.concatenate([ctx0_u8, last[:, None]], axis=1)
             c2_extr = np.concatenate(
                 [ctx_extr, tgt_extr[:, [last_pos]]], axis=1
             )
@@ -716,10 +780,14 @@ class VideoSampler:
                 [ctx_intr, tgt_intr[:, [last_pos]]], axis=1
             )
             real = end - start
-            images = launch(
-                ctx2_u8, c2_extr, c2_intr,
+            out = launch(
+                ctx2, c2_extr, c2_intr,
                 pad_cols(np.arange(start, end), self.group_size),
                 rel_index=1, v_t=self.group_size, k=k,
+            )
+            images = (
+                self._decode_u8(self.vae_params, out) if feed_latents
+                else out
             )
             self._submit(
                 pending, images,
@@ -729,7 +797,7 @@ class VideoSampler:
                  for i, p in enumerate(range(start, end))],
             )
             last_pos = end - 1
-            last_image = images[:, real - 1]
+            last = out[:, real - 1]
             start = end
         return pending
 

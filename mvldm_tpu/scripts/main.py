@@ -405,6 +405,7 @@ def run_test(cfg: RootCfg) -> None:
         unet_params,
         vae_params,
         num_anchors_views=cfg.test.num_anchors_views,
+        ar_latent_feedthrough=cfg.test.ar_latent_feedthrough,
     )
     test_dir = cfg.test.output_dir if str(cfg.test.output_dir) not in ("", ".") else None
     output_dir = Path(test_dir or cfg.output_dir) / "video"

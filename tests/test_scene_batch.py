@@ -108,6 +108,42 @@ class TestSceneBatch:
         b = np.stack([results[1][k] for k in sorted(results[1])])
         assert not np.array_equal(a, b)
 
+    def test_autoregressive_latent_feedthrough(self, tiny_engine):
+        """ar_latent_feedthrough=True: windows condition on the previous
+        window's generated latent (no per-window VAE encode). Same frame
+        coverage and determinism contract as the image-feed path; no VAE
+        encode launch after the initial one-time context encode."""
+        engine, unet_params, vae_params = tiny_engine
+        sampler = VideoSampler(
+            engine, unet_params, vae_params, ar_latent_feedthrough=True
+        )
+        encode_calls = []
+        orig_encode = sampler._encode_ctx
+
+        def spy_encode(vp, ctx_u8, rng):
+            encode_calls.append(ctx_u8.shape)
+            return orig_encode(vp, ctx_u8, rng)
+
+        sampler._encode_ctx = spy_encode
+        scenes = [make_scene(0), make_scene(1)]
+        results = sampler.sample_autoregressive_many(
+            scenes, jax.random.PRNGKey(0)
+        )
+        # The scene context is encoded exactly once for the whole chain:
+        # one (S=2, v_c=1, h, w, 3) launch.
+        h, w = scenes[0][0].images.shape[1:3]
+        assert encode_calls == [(2, 1, h, w, 3)]
+        for (ctx, tgt), frames in zip(scenes, results):
+            assert sorted(frames.keys()) == tgt.index.tolist()
+            for img in frames.values():
+                assert img.dtype == np.uint8
+        again = sampler.sample_autoregressive_many(
+            scenes, jax.random.PRNGKey(0)
+        )
+        for r1, r2 in zip(results, again):
+            for k in r1:
+                assert np.array_equal(r1[k], r2[k])
+
     def test_autoregressive_batch_mesh_sharded(self, tiny_engine):
         engine, unet_params, vae_params = tiny_engine
         sampler = VideoSampler(engine, unet_params, vae_params)
