@@ -183,6 +183,15 @@ def main() -> None:
     results["window_pieces_sum_s"] = (
         results["vae_encode_s"] + results["denoise_s"] + results["vae_decode_s"]
     )
+    # Latent-feedthrough floor (test.ar_latent_feedthrough): the window
+    # drops its 2-frame context encode — the chain becomes denoise +
+    # decode (the decode still serializes on the single TensorCore even
+    # though it is off the data-dependency path).
+    floor_feed = results["anchor_s"] + n_windows * (
+        results["denoise_s"] + results["vae_decode_s"]
+    )
+    results["floor_feedthrough_scene_s"] = floor_feed
+    results["floor_feedthrough_fps"] = n_frames / floor_feed
     print(json.dumps({k: round(v, 4) for k, v in results.items()}))
 
 
