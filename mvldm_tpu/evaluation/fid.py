@@ -143,6 +143,41 @@ def vae_feature_extractor(
     return extract
 
 
+def resolve_vae_params(
+    vae_checkpoint: Optional[Path] = None,
+    allow_init_vae: bool = False,
+):
+    """Resolve SD-VAE encoder params for the learned-feature fallbacks
+    (``fid_vaefeat_*`` / ``lpips_vaefeat*``) -> ``(params, key_suffix)`` or
+    ``(None, None)``.
+
+    Resolution order matches ``scripts/compute_fid.py``'s module docstring:
+    a converted torch checkpoint (ships with the model -> ``"vaefeat"``),
+    else — only on explicit opt-in — a seed-0 random-init VAE (a fixed
+    random projection, smoke tests / relative comparisons only ->
+    ``"vaefeat_randominit"``)."""
+    if vae_checkpoint is not None:
+        from ..training.checkpoint import load_torch_checkpoint_params
+
+        params = load_torch_checkpoint_params(Path(vae_checkpoint))
+        print(f"VAE features: SD-VAE encoder from {vae_checkpoint} "
+              "(…_vaefeat*; not comparable to published LPIPS/FID)")
+        return params["vae"], "vaefeat"
+    if allow_init_vae:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.vae import AutoencoderKL, AutoencoderKLCfg
+
+        vae = AutoencoderKL(AutoencoderKLCfg())
+        rng = jax.random.PRNGKey(0)
+        params = vae.init(rng, jnp.zeros((1, 64, 64, 3)), rng)["params"]
+        print("VAE features: RANDOM-INIT VAE encoder (allow_init_vae) — "
+              "a fixed random projection, relative comparisons only")
+        return params, "vaefeat_randominit"
+    return None, None
+
+
 def fid_between_dirs(
     dir_a: Path,
     dir_b: Path,

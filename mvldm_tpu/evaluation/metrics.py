@@ -301,3 +301,45 @@ def get_dists(weights_path: Optional[Path] = None) -> Optional[DISTS]:
     except FileNotFoundError as e:
         print(f"DISTS unavailable: {e}")
         return None
+
+
+class VAEFeatureDistance:
+    """Perceptual-distance fallback over the SD-VAE *encoder* features.
+
+    The LPIPS formula (channel-unit-normalized feature difference, averaged
+    over spatial positions) applied to the VAE encoder's posterior means
+    instead of VGG activations — the in-repo fallback when no VGG/DISTS
+    weights can exist in the environment (the weights ship WITH the model
+    checkpoint, so this metric is always producible; reference counterpart:
+    ``src/evaluation/metrics.py:44-54`` which hard-requires the ``lpips``
+    package). Scores are comparable within/between runs of this framework
+    and are loudly keyed ``lpips_vaefeat*`` — never against published LPIPS
+    numbers.
+    """
+
+    def __init__(self, vae_params, vae_kwargs=None):
+        from ..models.vae import AutoencoderKL, AutoencoderKLCfg
+
+        vae = AutoencoderKL(vae_kwargs or AutoencoderKLCfg())
+
+        @jax.jit
+        def dist_fn(x: Array, y: Array) -> Array:
+            def feats(img):
+                d = vae.apply(
+                    {"params": vae_params}, img * 2.0 - 1.0,
+                    method=AutoencoderKL.encode,
+                )
+                f = d.mean
+                return f / jnp.sqrt(
+                    jnp.sum(f**2, axis=-1, keepdims=True) + 1e-10
+                )
+
+            fx = feats(x.astype(jnp.float32))
+            fy = feats(y.astype(jnp.float32))
+            return jnp.mean(jnp.sum((fx - fy) ** 2, axis=-1), axis=(1, 2))
+
+        self._dist = dist_fn
+
+    def __call__(self, x: Array, y: Array) -> Array:
+        """x, y: (b, h, w, 3) in [0, 1] -> (b,) feature distances."""
+        return self._dist(jnp.asarray(x), jnp.asarray(y))

@@ -48,25 +48,11 @@ def resolve_extractor(
     extractor = vgg_feature_extractor(lpips_weights)
     if extractor is not None:
         return extractor, "vgg"
-    if vae_checkpoint is not None:
-        from ..training.checkpoint import load_torch_checkpoint_params
+    from ..evaluation.fid import resolve_vae_params
 
-        params = load_torch_checkpoint_params(Path(vae_checkpoint))
-        print(f"FID features: SD-VAE encoder from {vae_checkpoint} "
-              "(fid_vaefeat_*; not Inception-comparable)")
-        return vae_feature_extractor(params["vae"]), "vaefeat"
-    if allow_init_vae:
-        import jax
-        import jax.numpy as jnp
-
-        from ..models.vae import AutoencoderKL, AutoencoderKLCfg
-
-        vae = AutoencoderKL(AutoencoderKLCfg())
-        rng = jax.random.PRNGKey(0)
-        params = vae.init(rng, jnp.zeros((1, 64, 64, 3)), rng)["params"]
-        print("FID features: RANDOM-INIT VAE encoder (allow_init_vae) — "
-              "a fixed random projection, relative comparisons only")
-        return vae_feature_extractor(params), "vaefeat_randominit"
+    params, suffix = resolve_vae_params(vae_checkpoint, allow_init_vae)
+    if params is not None:
+        return vae_feature_extractor(params), suffix
     raise SystemExit(
         "No feature extractor available: provide converted LPIPS weights "
         "(utils/lpips_convert.py), --vae-checkpoint <torch .ckpt>, or "

@@ -78,7 +78,15 @@ def run_hydra(overrides) -> None:
             "evaluation.methods is empty — pass e.g. "
             "'evaluation.methods=[{name: ours, key: ours, path: outputs/test}]'"
         )
-    computer = MetricComputer(cfg.evaluation, lpips_weights=cfg.lpips_weights)
+    from ..evaluation.fid import resolve_vae_params
+
+    vae_params, vae_key = resolve_vae_params(
+        cfg.vae_checkpoint, cfg.allow_init_vae
+    )
+    computer = MetricComputer(
+        cfg.evaluation, lpips_weights=cfg.lpips_weights,
+        vae_params=vae_params, vae_feature_key=vae_key or "vaefeat",
+    )
     dm = build_data_module(cfg, StepTracker())
     results = computer.compute_over_dataset(
         dm.test_dataloader(), cfg.limit_test_batches
@@ -102,6 +110,8 @@ def run_argparse(argv) -> None:
     )
     parser.add_argument("--output", type=Path, default=Path("outputs/metrics.json"))
     parser.add_argument("--lpips-weights", type=Path, default=None)
+    parser.add_argument("--vae-checkpoint", type=Path, default=None)
+    parser.add_argument("--allow-init-vae", action="store_true")
     args = parser.parse_args(argv)
 
     methods = []
@@ -109,8 +119,14 @@ def run_argparse(argv) -> None:
         key, _, path = spec.partition("=")
         methods.append(MethodCfg(name=key, key=key, path=Path(path)))
 
+    from ..evaluation.fid import resolve_vae_params
+
+    vae_params, vae_key = resolve_vae_params(
+        args.vae_checkpoint, args.allow_init_vae
+    )
     computer = MetricComputer(
-        EvaluationCfg(methods=methods), args.gt_dir, args.lpips_weights
+        EvaluationCfg(methods=methods), args.gt_dir, args.lpips_weights,
+        vae_params=vae_params, vae_feature_key=vae_key or "vaefeat",
     )
     results = computer.compute()
     save_metrics_json(results, args.output)

@@ -267,3 +267,78 @@ class TestVaeFeatureFID:
         )
         assert prefix == "vaefeat_randominit"
         assert "random" in capsys.readouterr().out.lower()
+
+
+class TestVAEFeatureDistance:
+    """lpips_vaefeat: the per-scene learned-metric fallback
+    (metrics.VAEFeatureDistance + MetricComputer vae_params wiring)."""
+
+    def _tiny(self):
+        return TestVaeFeatureFID._tiny_vae_params(TestVaeFeatureFID())
+
+    def test_identity_zero_and_ordering(self):
+        import numpy as np
+
+        from mvldm_tpu.evaluation.metrics import VAEFeatureDistance
+
+        cfg, params = self._tiny()
+        dist = VAEFeatureDistance(params, vae_kwargs=cfg)
+        rng = np.random.default_rng(0)
+        a = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        d_same = np.asarray(dist(a, a.copy()))
+        assert d_same.shape == (2,)
+        assert np.all(np.abs(d_same) < 1e-5)
+
+        # Small noise must score closer than an unrelated image.
+        near = np.clip(a + 0.02 * rng.normal(size=a.shape), 0, 1)
+        far = rng.uniform(size=a.shape).astype(np.float32)
+        d_near = np.asarray(dist(a, near.astype(np.float32)))
+        d_far = np.asarray(dist(a, far))
+        assert np.all(d_near < d_far)
+
+    def test_metric_computer_emits_vaefeat_keys(self, tmp_path):
+        import numpy as np
+
+        from mvldm_tpu.evaluation.metric_computer import (
+            EvaluationCfg,
+            MethodCfg,
+            MetricComputer,
+        )
+        from mvldm_tpu.utils.image_io import save_image
+
+        cfg, params = self._tiny()
+        rng = np.random.default_rng(1)
+        gt = rng.uniform(size=(3, 64, 64, 3)).astype(np.float32)
+        pred = np.clip(gt + 0.05 * rng.normal(size=gt.shape), 0, 1)
+        for i in range(3):
+            save_image(gt[i], tmp_path / "gt" / "scene0" / f"{i:0>6}.png")
+            save_image(
+                pred[i].astype(np.float32),
+                tmp_path / "m" / "scene0" / "color" / f"{i:0>6}.png",
+            )
+
+        computer = MetricComputer(
+            EvaluationCfg(methods=[
+                MethodCfg(name="ours", key="ours", path=tmp_path / "m")
+            ]),
+            gt_dir=tmp_path / "gt",
+            vae_params=params,
+            vae_feature_key="vaefeat_randominit",
+            vae_kwargs=cfg,
+        )
+        # No VGG weights in this environment: the fallback must be active
+        # and loudly keyed.
+        assert computer.lpips is None
+        assert computer.vaefeat is not None
+        assert computer.fid_key == "fid_vaefeat_randominit"
+        results = computer.compute()
+        ours = results["ours"]
+        assert "lpips_vaefeat_randominit" in ours
+        assert np.isfinite(ours["lpips_vaefeat_randominit"])
+        assert ours["num_scenes"] == 1
+
+        # The dataset-driven per-frame path emits both fallback metrics.
+        fm = computer._frame_metrics(gt, pred.astype(np.float32))
+        assert "lpips_vaefeat_randominit" in fm
+        assert "fid_vaefeat_randominit" in fm
+        assert all(np.isfinite(v) for v in fm.values())
