@@ -16,6 +16,11 @@ Argparse sugar (directory-vs-directory, no dataset required):
     python -m mvldm_tpu.scripts.compute_metrics \\
         --gt-dir outputs/gt --method ours=outputs/run1/video \\
         --output outputs/metrics.json
+
+When no converted VGG weights exist (this image), pass ``--vae-checkpoint``
+(or ``vae_checkpoint=``) to emit the SD-VAE-feature fallbacks
+``lpips_vaefeat``/``fid_vaefeat`` — see ``evaluation/fid.resolve_vae_params``
+and the compute_fid module docstring for the resolution order.
 """
 
 from __future__ import annotations
