@@ -167,6 +167,11 @@ def bench_train() -> None:
     # MVLDM_TRAIN_BENCH_REMAT_POLICY=dots: save matmul/conv outputs inside
     # remat blocks, recompute only elementwise work (trainer.remat_policy).
     remat_policy = os.environ.get("MVLDM_TRAIN_BENCH_REMAT_POLICY") or None
+    # MVLDM_FLASH_BWD=0: force the XLA query-chunked attention backward
+    # instead of the default Pallas flash backward (ops/attention.py) —
+    # read at trace time by the attention op itself; surfaced here only
+    # for honest labeling of non-default runs.
+    xla_bwd = os.environ.get("MVLDM_FLASH_BWD", "1") != "1"
     kwargs = {"mu_dtype": "bfloat16"}
     if lp:
         kwargs["nu_dtype"] = "bfloat16"
@@ -246,10 +251,13 @@ def bench_train() -> None:
             f"{'no remat' if noremat else 'block remat'}"
             f"{f' policy={remat_policy}' if remat_policy else ''}, "
             f"{'bf16 mu+nu' if lp else 'bf16 mu'}, AdamW"
-            f"{', latent-cache inputs' if latents else ''})"
+            f"{', latent-cache inputs' if latents else ''}"
+            f"{', xla attn bwd' if xla_bwd else ''})"
         ),
     }
-    if b in r3_steps_per_sec and not (latents or noremat or remat_policy):
+    if b in r3_steps_per_sec and not (
+        latents or noremat or remat_policy or xla_bwd
+    ):
         # Latent-cache runs skip the ratio: r3 measured the image path, and
         # mixing protocols in one ratio is how r3's Weak #5 happened.
         record["vs_baseline"] = round((1.0 / dt) / r3_steps_per_sec[b], 4)

@@ -13,9 +13,21 @@ implementations with one contract:
   key blocks, no materialized L×L matrix in HBM).
 
 :func:`attention` dispatches between them and wires a custom VJP so the Pallas
-forward is usable in training. The backward recomputes attention weights in
-query chunks under ``lax.scan`` (see :func:`_attention_bwd`), so no full L×L
-score tensor is ever materialized in either direction.
+forward is usable in training. Two backward paths, selected by
+``MVLDM_FLASH_BWD``:
+
+* ``1`` (default on TPU) — :func:`flash_attention_bwd`, FlashAttention-2-style
+  Pallas kernels: the forward additionally emits the row log-sum-exp, and two
+  kernels (dK/dV/dbias with queries innermost; dQ with keys innermost)
+  recompute probability tiles in VMEM from (q, k, v, lse). No L×L tile ever
+  touches HBM in either direction — the XLA chunked backward below streams
+  ~four f32 (chunk, Lk) score tiles through HBM per chunk, which is the
+  dominant backward traffic at the joint cross-view shape (L = 5·1024).
+* ``0`` — the XLA fallback: recompute attention weights in query chunks under
+  ``lax.scan`` (see :func:`_attention_bwd`), bounding live score memory
+  without Pallas (also the CPU path).
+* ``interpret`` — the Pallas backward under the Pallas interpreter (CPU
+  correctness tests).
 
 An optional additive ``bias`` of shape (batch, kv_len) masks keys; the
 multi-view UNet uses it to exclude padded views from cross-view attention,
@@ -27,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +74,8 @@ def mha_reference(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, *refs, scale: float, has_bias: bool
+    q_ref, k_ref, v_ref, *refs, scale: float, has_bias: bool,
+    return_lse: bool,
 ):
     """Performance notes (measured on v5e at this model's shapes, head dims
     40-160): the kernel is bound by elementwise passes over the f32
@@ -81,10 +95,12 @@ def _flash_kernel(
     * the bias input (and its add pass) is compiled out when no mask
       exists — the sequential-CFG sampling path runs maskless.
     """
-    if has_bias:
-        bias_ref, o_ref, m_scr, acc_scr = refs
+    rest = list(refs)
+    bias_ref = rest.pop(0) if has_bias else None
+    if return_lse:
+        o_ref, lse_ref, m_scr, acc_scr = rest
     else:
-        o_ref, m_scr, acc_scr = refs
+        o_ref, m_scr, acc_scr = rest
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -126,6 +142,10 @@ def _flash_kernel(
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:, :d] / acc_scr[:, d:]).astype(o_ref.dtype)
+        if return_lse:
+            # m is tracked UNSCALED (max over s [+ bias/scale]); the true
+            # row logits are scale*s [+ bias], so lse = scale*m + log(l).
+            lse_ref[0] = m_scr[:] * scale + jnp.log(acc_scr[:, d:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -133,7 +153,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "return_lse"),
 )
 def flash_attention(
     q: Array,
@@ -144,11 +165,17 @@ def flash_attention(
     block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> Array:
     """Pallas fused attention. q: (B, H, Lq, D); k/v: (B, H, Lk, D).
 
     Handles ragged lengths by padding to block multiples; padded keys get an
     additive NEG_INF bias, padded query rows are sliced off the output.
+
+    With ``return_lse`` returns ``(out, lse)`` where lse is the f32 row
+    log-sum-exp of the scaled-and-biased logits, shape (B, H, Lq, 1) — the
+    statistic :func:`flash_attention_bwd` needs to rebuild probability tiles
+    without a second softmax pass.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -210,12 +237,27 @@ def flash_attention(
             pl.BlockSpec((1, 1, block_k), lambda g, iq, ik: (g // h, 0, ik))
         )
 
+    out_specs = pl.BlockSpec((1, block_q, d), lambda g, iq, ik: (g, iq, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype)
+    if return_lse:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, block_q, 1), lambda g, iq, ik: (g, iq, 0)),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((bh, lq_pad, 1), jnp.float32),
+        )
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, has_bias=has_bias),
+        functools.partial(
+            _flash_kernel, scale=scale, has_bias=has_bias,
+            return_lse=return_lse,
+        ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda g, iq, ik: (g, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),       # running max m
             pltpu.VMEM((block_q, d + 1), jnp.float32),   # [acc | l]
@@ -223,10 +265,285 @@ def flash_attention(
         interpret=interpret,
     )(*operands)
 
+    lse = None
+    if return_lse:
+        out, lse = out
+        lse = lse.reshape(b, h, lq_pad, 1)
+        if lq_pad != lq:
+            lse = lse[:, :, :lq]
     out = out.reshape(b, h, lq_pad, d)
     if lq_pad != lq:
         out = out[:, :, :lq, :]
+    if return_lse:
+        return out, lse
     return out
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
+    scale: float, has_bias: bool,
+):
+    """dQ accumulation, keys innermost. Rebuilds the probability tile from
+    (q, k, lse) — p = exp(scale*s + bias - lse) row-normalizes exactly, so no
+    running softmax state is needed — then ds = p ⊙ (dp - delta) and
+    dq += ds @ k, all in VMEM. delta = rowsum(dO ⊙ O) is precomputed in jnp
+    (a D-wide reduction, negligible traffic)."""
+    if has_bias:
+        bias_ref, dq_ref, dq_acc = refs
+    else:
+        dq_ref, dq_acc = refs
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if has_bias:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[0])
+    do = do_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0])
+    dq_acc[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ik == pl.num_programs(2) - 1)
+    def _fin():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
+    scale: float, has_bias: bool,
+):
+    """dK/dV (and dbias) accumulation, queries innermost. Same p/ds rebuild
+    as the dQ kernel; dv += pᵀ dO and — reusing the forward's ones-column
+    trick — dk_db += dsᵀ [q | 1], whose last column is the per-key dbias row
+    sum for free (no separate reduction pass over the ds tile)."""
+    if has_bias:
+        bias_ref, dk_ref, dv_ref, db_ref, dk_acc, dv_acc = refs
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc = refs
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if has_bias:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[0])
+    do = do_ref[0].astype(jnp.float32)
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    v = v_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0])
+    if has_bias:
+        q_in = jnp.concatenate(
+            [q, jnp.ones((q.shape[0], 1), jnp.float32)], axis=-1
+        )
+    else:
+        q_in = q
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q_in, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(iq == pl.num_programs(2) - 1)
+    def _fin():
+        d = v_ref.shape[-1]
+        dk_ref[0] = (dk_acc[:, :d] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        if has_bias:
+            db_ref[0] = dk_acc[:, d:]  # dbias is unscaled: d(logits)/d(bias)=1
+
+
+def flash_attention_bwd(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Array | None,
+    out: Array,
+    lse: Array,
+    g: Array,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """Pallas attention backward from forward residuals (out, lse).
+
+    Returns ``(dq, dk, dv, dbias)``; dbias is None when ``bias`` is None,
+    else f32 (B, 1, Lk, 1) summed over heads and query rows (4-D so a single
+    leading-batch shard_map out_spec covers every output — see
+    ``parallel.tp.run_manual``).
+
+    Padding contract (mirrors :func:`flash_attention`): padded KEYS are
+    masked by a NEG_INF bias column → p = 0 → zero dk/dv/dbias rows, sliced
+    off. Padded QUERY rows get dO = 0 and lse = +inf → p = exp(-inf) = 0 and
+    ds = p·(0 - 0) = 0 (never inf·0), so they contribute nothing to dk/dv
+    and their dq rows are sliced off.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    needs_dbias = bias is not None
+    bias_dtype = None if bias is None else bias.dtype
+
+    # Same VMEM-pressure clamp as the forward, tighter: the backward keeps
+    # three f32 (block_q, block_k) tiles (s/p, dp, ds) live per program.
+    if d > 128:
+        block_q = min(block_q, 256)
+        block_k = min(block_k, 512)
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    if bias is None and lk_pad != lk:
+        bias = jnp.zeros((b, lk), dtype=jnp.float32)
+    has_bias = bias is not None
+    if has_bias:
+        if lk_pad != lk:
+            bias = jnp.pad(
+                bias, ((0, 0), (0, lk_pad - lk)), constant_values=NEG_INF
+            )
+        # TRUE bias here (the forward pre-divides by scale; the backward
+        # kernels apply scale to s before adding, so no pre-divide).
+        bias = bias.astype(jnp.float32)
+
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    lse_v = lse.astype(jnp.float32).reshape(b, h, lq)
+
+    if lq_pad != lq:
+        pq = lq_pad - lq
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pq)))
+        lse_v = jnp.pad(
+            lse_v, ((0, 0), (0, 0), (0, pq)), constant_values=float("inf")
+        )
+    if lk_pad != lk:
+        pk = lk_pad - lk
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+
+    bh = b * h
+    qr = q.reshape(bh, lq_pad, d)
+    kr = k.reshape(bh, lk_pad, d)
+    vr = v.reshape(bh, lk_pad, d)
+    gr = g.reshape(bh, lq_pad, d)
+    lse_r = lse_v.reshape(bh, lq_pad, 1)
+    delta_r = delta.reshape(bh, lq_pad, 1)
+    bias_r = None if not has_bias else bias.reshape(b, 1, lk_pad)
+
+    nq = lq_pad // block_q
+    nk = lk_pad // block_k
+    operands = [qr, kr, vr, gr, lse_r, delta_r]
+    if has_bias:
+        operands.append(bias_r)
+
+    # ---- dQ: grid (bh, q blocks, k blocks), keys innermost -------------
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda gi, iq, ik: (gi, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda gi, iq, ik: (gi, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda gi, iq, ik: (gi, ik, 0)),
+        pl.BlockSpec((1, block_q, d), lambda gi, iq, ik: (gi, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda gi, iq, ik: (gi, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda gi, iq, ik: (gi, iq, 0)),
+    ]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda gi, iq, ik: (gi // h, 0, ik))
+        )
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, has_bias=has_bias
+        ),
+        grid=(bh, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda gi, iq, ik: (gi, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+    # ---- dK/dV/dbias: grid (bh, k blocks, q blocks), queries innermost --
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda gi, ik, iq: (gi, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda gi, ik, iq: (gi, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda gi, ik, iq: (gi, ik, 0)),
+        pl.BlockSpec((1, block_q, d), lambda gi, ik, iq: (gi, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda gi, ik, iq: (gi, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda gi, ik, iq: (gi, iq, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_k, d), lambda gi, ik, iq: (gi, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda gi, ik, iq: (gi, ik, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bh, lk_pad, d), k.dtype),
+        jax.ShapeDtypeStruct((bh, lk_pad, d), v.dtype),
+    ]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda gi, ik, iq: (gi // h, 0, ik))
+        )
+        out_specs.append(
+            pl.BlockSpec((1, block_k, 1), lambda gi, ik, iq: (gi, ik, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bh, lk_pad, 1), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, has_bias=has_bias
+        ),
+        grid=(bh, nk, nq),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d + 1 if has_bias else d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    dk, dv = outs[0], outs[1]
+
+    dq = dq.reshape(b, h, lq_pad, d)[:, :, :lq]
+    dk = dk.reshape(b, h, lk_pad, d)[:, :, :lk]
+    dv = dv.reshape(b, h, lk_pad, d)[:, :, :lk]
+    db = None
+    if needs_dbias:
+        db_bh = outs[2].reshape(b, h, lk_pad, 1)[:, :, :lk]
+        db = jnp.sum(db_bh, axis=1, keepdims=True).astype(bias_dtype)
+    return dq, dk, dv, db
+
+
+def _flash_bwd_mode() -> str:
+    """'1' (Pallas backward on TPU — the default; chip-qualified at 32.1x
+    the XLA chunked backward on the joint cross-view shape and >=1.6x on
+    every UNet attention shape, rel_err <= 0.5% vs the f32 reference, see
+    tools/qualify_flash_bwd.py), '0' (XLA chunked), 'interpret' (Pallas
+    backward under the interpreter — CPU correctness tests). On CPU the
+    '1' default falls through to the XLA path via :func:`_use_pallas`."""
+    return os.environ.get("MVLDM_FLASH_BWD", "1")
 
 
 def _use_pallas() -> bool:
@@ -259,7 +576,35 @@ def _attention_prim(q, k, v, bias, scale):
 
 
 def _attention_fwd(q, k, v, bias, scale):
-    return _attention_prim(q, k, v, bias, scale), (q, k, v, bias)
+    """VJP forward. In Pallas-backward mode the forward additionally emits
+    the row log-sum-exp and saves (out, lse) residuals (FlashAttention-2
+    bookkeeping); otherwise residuals carry None placeholders and the
+    backward takes the XLA chunked path."""
+    from ..parallel.tp import run_manual
+
+    mode = _flash_bwd_mode()
+    use_pallas_bwd = mode == "interpret" or (mode == "1" and _use_pallas())
+    if not use_pallas_bwd:
+        return _attention_prim(q, k, v, bias, scale), (q, k, v, bias, None, None)
+
+    interp = mode == "interpret"
+    if bias is None:
+        out, lse = run_manual(
+            lambda q_, k_, v_: flash_attention(
+                q_, k_, v_, None, scale=scale, return_lse=True,
+                interpret=interp,
+            ),
+            batched=(q, k, v),
+        )
+    else:
+        out, lse = run_manual(
+            lambda q_, k_, v_, b_: flash_attention(
+                q_, k_, v_, b_, scale=scale, return_lse=True,
+                interpret=interp,
+            ),
+            batched=(q, k, v, bias),
+        )
+    return out, (q, k, v, bias, out, lse)
 
 
 # Query rows per backward chunk. 1024 bounds the live score tiles to
@@ -269,7 +614,10 @@ _BWD_CHUNK = 1024
 
 
 def _attention_bwd(scale, res, g):
-    """Query-chunked analytic attention backward (fp32, exact).
+    """Attention backward. With (out, lse) residuals present (Pallas mode,
+    see :func:`_attention_fwd`) dispatch to :func:`flash_attention_bwd`
+    under ``run_manual``; otherwise run the XLA query-chunked analytic
+    backward below (fp32, exact).
 
     A naive backward materializes four (B, H, Lq, Lk) f32 score tensors —
     ~840 MB each per batch row at the joint cross-view training shape
@@ -279,7 +627,30 @@ def _attention_bwd(scale, res, g):
     while computing identical gradients (softmax statistics are per-row, so
     query chunking is exact; dk/dv accumulate across chunks in f32).
     """
-    q, k, v, bias = res
+    q, k, v, bias, out, lse = res
+    if out is not None:
+        from ..parallel.tp import run_manual
+
+        interp = _flash_bwd_mode() == "interpret"
+        if bias is None:
+            def body(q_, k_, v_, o_, l_, g_):
+                dq_, dk_, dv_, _ = flash_attention_bwd(
+                    q_, k_, v_, None, o_, l_, g_, scale, interpret=interp
+                )
+                return dq_, dk_, dv_
+
+            dq, dk, dv = run_manual(body, batched=(q, k, v, out, lse, g))
+            return dq, dk, dv, None
+
+        def body(q_, k_, v_, b_, o_, l_, g_):
+            return flash_attention_bwd(
+                q_, k_, v_, b_, o_, l_, g_, scale, interpret=interp
+            )
+
+        dq, dk, dv, db = run_manual(
+            body, batched=(q, k, v, bias, out, lse, g)
+        )
+        return dq, dk, dv, db[:, 0, :, 0]
     b, h, lq, d = q.shape
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)

@@ -64,6 +64,109 @@ class TestFlashAttention:
         )
 
 
+class TestFlashBackward:
+    """Pallas FlashAttention-2 backward (interpret mode) vs autodiff of the
+    jnp reference."""
+
+    def _ref_grads(self, q, k, v, bias, g):
+        if bias is None:
+            _, vjp = jax.vjp(lambda a, b, c: mha_reference(a, b, c), q, k, v)
+            return vjp(g) + (None,)
+        _, vjp = jax.vjp(
+            lambda a, b, c, d: mha_reference(a, b, c, d), q, k, v, bias
+        )
+        return vjp(g)
+
+    @pytest.mark.parametrize("lq,lk,d", [(128, 128, 64), (100, 300, 40)])
+    def test_grads_match_reference(self, lq, lk, d):
+        import math
+
+        from mvldm_tpu.ops.attention import flash_attention, flash_attention_bwd
+
+        q, k, v = make_qkv(jax.random.PRNGKey(11), b=2, h=2, lq=lq, lk=lk, d=d)
+        g = jax.random.normal(jax.random.PRNGKey(12), (2, 2, lq, d))
+        out, lse = flash_attention(
+            q, k, v, return_lse=True, interpret=True, block_q=128, block_k=128
+        )
+        dq, dk, dv, db = flash_attention_bwd(
+            q, k, v, None, out, lse, g, 1.0 / math.sqrt(d),
+            block_q=128, block_k=128, interpret=True,
+        )
+        assert db is None
+        rdq, rdk, rdv, _ = self._ref_grads(q, k, v, None, g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4)
+
+    def test_grads_with_bias_and_dbias(self):
+        import math
+
+        from mvldm_tpu.ops.attention import flash_attention, flash_attention_bwd
+
+        b, h, lq, lk, d = 2, 2, 100, 200, 40
+        q, k, v = make_qkv(jax.random.PRNGKey(13), b=b, h=h, lq=lq, lk=lk, d=d)
+        bias = jnp.where(
+            jax.random.bernoulli(jax.random.PRNGKey(14), 0.3, (b, lk)),
+            NEG_INF, 0.0,
+        ).astype(jnp.float32)
+        g = jax.random.normal(jax.random.PRNGKey(15), (b, h, lq, d))
+        out, lse = flash_attention(
+            q, k, v, bias, return_lse=True, interpret=True,
+            block_q=128, block_k=128,
+        )
+        dq, dk, dv, db = flash_attention_bwd(
+            q, k, v, bias, out, lse, g, 1.0 / math.sqrt(d),
+            block_q=128, block_k=128, interpret=True,
+        )
+        rdq, rdk, rdv, rdb = self._ref_grads(q, k, v, bias, g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(db[:, 0, :, 0]), np.asarray(rdb), atol=1e-4
+        )
+
+    def test_dispatcher_end_to_end_interpret(self, monkeypatch):
+        """MVLDM_FLASH_BWD=interpret routes attention()'s VJP through the
+        Pallas forward+backward (interpreted on CPU); grads must match the
+        jnp autodiff reference, including dbias."""
+        monkeypatch.setenv("MVLDM_FLASH_BWD", "interpret")
+        b, h, lq, lk, d = 1, 2, 130, 140, 32
+        q, k, v = make_qkv(jax.random.PRNGKey(16), b=b, h=h, lq=lq, lk=lk, d=d)
+        bias = jnp.zeros((b, lk)).at[:, 120:].set(NEG_INF)
+
+        def loss_custom(q, k, v, bias):
+            return jnp.sum(attention(q, k, v, bias) ** 2)
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(mha_reference(q, k, v, bias) ** 2)
+
+        g_custom = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for gc, gr in zip(g_custom, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(gc), np.asarray(gr), atol=1e-4
+            )
+
+    def test_forward_lse_matches_reference(self):
+        import math
+
+        from mvldm_tpu.ops.attention import flash_attention
+
+        q, k, v = make_qkv(jax.random.PRNGKey(17), lq=100, lk=300, d=40)
+        out, lse = flash_attention(
+            q, k, v, return_lse=True, interpret=True, block_q=128, block_k=128
+        )
+        scale = 1.0 / math.sqrt(40)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        ref_lse = jax.scipy.special.logsumexp(s, axis=-1)[..., None]
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(mha_reference(q, k, v)), atol=2e-5
+        )
+
+
 class TestAttentionDispatcher:
     def test_forward_cpu_path(self):
         q, k, v = make_qkv(jax.random.PRNGKey(6))
