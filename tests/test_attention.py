@@ -148,6 +148,26 @@ class TestFlashBackward:
                 np.asarray(gc), np.asarray(gr), atol=1e-4
             )
 
+    def test_wide_head_clamps_blocks(self):
+        """d=160 (the c1280 attention stage) trips the d>128 VMEM-pressure
+        block clamp in flash_attention_bwd when called with default block
+        sizes; gradients must still match."""
+        import math
+
+        from mvldm_tpu.ops.attention import flash_attention, flash_attention_bwd
+
+        b, h, lq, lk, d = 1, 2, 256, 256, 160
+        q, k, v = make_qkv(jax.random.PRNGKey(18), b=b, h=h, lq=lq, lk=lk, d=d)
+        g = jax.random.normal(jax.random.PRNGKey(19), (b, h, lq, d))
+        out, lse = flash_attention(q, k, v, return_lse=True, interpret=True)
+        dq, dk, dv, _ = flash_attention_bwd(
+            q, k, v, None, out, lse, g, 1.0 / math.sqrt(d), interpret=True
+        )
+        rdq, rdk, rdv, _ = self._ref_grads(q, k, v, None, g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=2e-4)
+
     def test_forward_lse_matches_reference(self):
         import math
 
