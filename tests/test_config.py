@@ -101,3 +101,18 @@ class TestTypedConfig:
         assert root.model.denoiser.autoencoder.block_out_channels == (32, 64)
         assert root.model.autoencoder.kwargs.norm_num_groups == 4
         assert root.data_loader.train.batch_size == 2
+
+    def test_tpu_fast_layers_over_baseline(self):
+        """The throughput preset changes execution knobs only — the
+        optimization problem (lr/schedule/model) must stay baseline's."""
+        cfg = compose(["+experiment=baseline", "+experiment=tpu_fast"])
+        root = load_typed_root_config(cfg)
+        assert root.trainer.remat is True
+        assert root.optimizer.kwargs == {
+            "mu_dtype": "bfloat16", "nu_dtype": "bfloat16",
+        }
+        assert root.optimizer.lr == pytest.approx(2e-5)
+        assert root.optimizer.scheduler.kwargs["start_factor"] == (
+            pytest.approx(5e-4)
+        )
+        assert root.model.scheduler.num_inference_steps == 70
