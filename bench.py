@@ -53,6 +53,47 @@ import numpy as np
 
 A100_REFERENCE_FPS = 3.0  # estimated; see module docstring
 
+
+def _require_live_backend(deadline_s: float = 150.0) -> None:
+    """Fail loudly (rc 3) instead of hanging when the TPU tunnel is dead.
+
+    The tunneled bench chip's client retries forever when the tunnel drops
+    (observed mid-round-3 and mid-round-4): even ``jax.devices()`` never
+    returns, so every bench entry point would hang indefinitely — including
+    under the driver, which then records nothing. Probe with a tiny
+    round-trip computation in a daemon thread under a deadline; a value
+    cannot be transferred back unless the backend actually executed it.
+    ``__graft_entry__.dryrun_multichip`` applies the same guard (there the
+    fallback is a virtual-CPU relaunch; here there is nothing meaningful to
+    measure without the chip, so abort with a clear message)."""
+    import threading
+
+    probed: list = []
+
+    def _probe() -> None:
+        try:
+            probed.append(float(np.asarray(jnp.asarray(1.0) + 1.0)))
+        except Exception:
+            probed.append(None)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=deadline_s)
+    if not probed or probed[0] is None:
+        print(
+            "bench.py: backend probe failed or timed out after "
+            f"{deadline_s:.0f}s (TPU tunnel unreachable) — aborting instead "
+            "of hanging; re-run when the chip is back",
+            file=sys.stderr,
+            flush=True,
+        )
+        # os._exit, not SystemExit: the stuck client thread's C++ teardown
+        # aborts the interpreter during normal exit ("FATAL: exception not
+        # rethrown"), clobbering the exit code. Skip teardown entirely.
+        import os
+
+        os._exit(3)
+
 NUM_FRAMES = 80
 NUM_STEPS = 25
 IMAGE_HW = 256
@@ -371,6 +412,7 @@ def main(mode: str = "anchored") -> None:
 if __name__ == "__main__":
     import sys
 
+    _require_live_backend()
     ar = "--autoregressive" in sys.argv[1:]
     if "--train" in sys.argv[1:]:
         bench_train()
