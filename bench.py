@@ -54,7 +54,7 @@ import numpy as np
 A100_REFERENCE_FPS = 3.0  # estimated; see module docstring
 
 
-def _require_live_backend(deadline_s: float = 150.0) -> None:
+def _require_live_backend(deadline_s: float | None = None) -> None:
     """Fail loudly (rc 3) instead of hanging when the TPU tunnel is dead.
 
     The tunneled bench chip's client retries forever when the tunnel drops
@@ -66,32 +66,47 @@ def _require_live_backend(deadline_s: float = 150.0) -> None:
     ``__graft_entry__.dryrun_multichip`` applies the same guard (there the
     fallback is a virtual-CPU relaunch; here there is nothing meaningful to
     measure without the chip, so abort with a clear message)."""
+    import os
     import threading
+    import traceback
+
+    if deadline_s is None:
+        # Slow-init environments (first-contact runtime bring-up) can
+        # legitimately exceed the default; override without editing code.
+        deadline_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "150"))
 
     probed: list = []
 
     def _probe() -> None:
         try:
             probed.append(float(np.asarray(jnp.asarray(1.0) + 1.0)))
-        except Exception:
-            probed.append(None)
+        except Exception as e:  # keep the real cause for the abort message
+            probed.append(e)
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
     th.join(timeout=deadline_s)
-    if not probed or probed[0] is None:
+    if not probed or not isinstance(probed[0], float):
+        if probed:
+            # A raised exception is a diagnosable root cause (version skew,
+            # misconfiguration) — distinct from a hang (dead tunnel).
+            cause = f"backend probe raised: {probed[0]!r}"
+            traceback.print_exception(probed[0], file=sys.stderr)
+        else:
+            cause = (
+                f"backend probe timed out after {deadline_s:.0f}s "
+                "(TPU tunnel unreachable; override deadline with "
+                "BENCH_PROBE_DEADLINE_S)"
+            )
         print(
-            "bench.py: backend probe failed or timed out after "
-            f"{deadline_s:.0f}s (TPU tunnel unreachable) — aborting instead "
-            "of hanging; re-run when the chip is back",
+            f"bench.py: {cause} — aborting instead of hanging; re-run when "
+            "the chip is back",
             file=sys.stderr,
             flush=True,
         )
         # os._exit, not SystemExit: the stuck client thread's C++ teardown
         # aborts the interpreter during normal exit ("FATAL: exception not
         # rethrown"), clobbering the exit code. Skip teardown entirely.
-        import os
-
         os._exit(3)
 
 NUM_FRAMES = 80

@@ -31,14 +31,38 @@ def gaussian_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def frechet_distance(
     feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
 ) -> float:
+    """Frechet distance between Gaussian fits (cleanfid semantics).
+
+    Small-sample / low-rank feature sets make ``sigma1 @ sigma2`` singular;
+    following cleanfid (``cleanfid/fid.py``, referenced by the reference's
+    ``src/scripts/compute_fid.py:43-50``), the product is regularized with
+    ``eps * I`` before the matrix square root whenever the plain sqrtm is
+    non-finite or warns about singularity. A materially complex result (an
+    actually-invalid covariance pair, not round-off) raises instead of being
+    silently truncated to its real part."""
+    import warnings
+
     mu1, sigma1 = gaussian_stats(feats_a)
     mu2, sigma2 = gaussian_stats(feats_b)
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
-    if not np.isfinite(covmean).all():
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    singular = any(
+        issubclass(w.category, scipy.linalg.LinAlgWarning) for w in caught
+    )
+    if singular or not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = scipy.linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+        covmean, _ = scipy.linalg.sqrtm(
+            (sigma1 + offset) @ (sigma2 + offset), disp=False
+        )
     if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                "frechet_distance: sqrtm produced a materially complex "
+                f"result (max |imag| = {np.abs(covmean.imag).max():.3e}); "
+                "the feature covariances are invalid"
+            )
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 

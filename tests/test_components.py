@@ -172,6 +172,22 @@ class TestFidMath:
         assert frechet_distance(a, b) > 1.0
         assert kernel_distance(a, b) > 0.1
 
+    def test_tiny_n_singular_covariance(self):
+        # N < d makes the covariance rank-deficient (the fixture-weight
+        # eval sweep's regime); the eps*I regularization must produce a
+        # finite real result with no LinAlgWarning leaking to the caller.
+        import warnings
+
+        import scipy.linalg
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(5, 64))
+        b = rng.normal(size=(5, 64)) + 1.0
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", scipy.linalg.LinAlgWarning)
+            d = frechet_distance(a, b)
+        assert np.isfinite(d) and d > 0.0
+
 
 class TestDatasetV2:
     def test_getitem(self, tmp_path):
