@@ -111,15 +111,23 @@ class MetricComputer:
     def __init__(self, cfg: EvaluationCfg, gt_dir: Optional[Path] = None,
                  lpips_weights: Optional[Path] = None,
                  vae_params=None, vae_feature_key: str = "vaefeat",
-                 vae_kwargs=None):
+                 vae_kwargs=None, inception_weights: Optional[Path] = None):
         self.cfg = cfg
         self.gt_dir = Path(gt_dir) if gt_dir is not None else None
         self.lpips = get_lpips(lpips_weights)
         self.dists = get_dists(lpips_weights)
         from .fid import vgg_feature_extractor
+        from .inception import inception_feature_extractor
 
-        self.fid_extractor = vgg_feature_extractor(lpips_weights)
-        self.fid_key = "fid_vgg"
+        # Standard Inception-FID when converted FID-Inception weights exist
+        # (the reference's torchmetrics extractor, metric_computer.py:22) —
+        # keyed plain "fid" because these ARE comparable to published
+        # numbers; the substitutes below carry their extractor in the key.
+        self.fid_extractor = inception_feature_extractor(inception_weights)
+        self.fid_key = "fid"
+        if self.fid_extractor is None:
+            self.fid_extractor = vgg_feature_extractor(lpips_weights)
+            self.fid_key = "fid_vgg"
         # Learned-feature fallback when no VGG weights can exist in the
         # environment (VERDICT r3 Missing #3): the SD-VAE encoder (shipped
         # with the model checkpoint) supplies a perceptual distance

@@ -12,14 +12,20 @@ Argparse sugar (directory vs directory):
     python -m mvldm_tpu.scripts.compute_fid --dir-a outputs/run1/video \\
         --dir-b outputs/gt --output outputs/fid.json
 
-Feature extractor resolution (loudest-capability-first; the result keys
-name the extractor so scores are never mistaken for Inception-FID):
+Feature extractor resolution (loudest-capability-first; non-Inception
+substitutes carry the extractor in the result keys so their scores are
+never mistaken for Inception-FID):
 
-1. ``fid_vgg_*``     — LPIPS VGG16 trunk, when converted weights exist.
-2. ``fid_vaefeat_*`` — SD-VAE encoder latents (``--vae-checkpoint`` /
+1. ``fid_*``         — STANDARD Inception-FID (pool3-2048, FID convention;
+   comparable to published numbers) when ``assets/inception_fid.npz`` or
+   ``--inception-weights`` exists — one-time offline conversion:
+   ``python -m mvldm_tpu.utils.inception_convert --source
+   pt_inception-2015-12-05-6726825d.pth``.
+2. ``fid_vgg_*``     — LPIPS VGG16 trunk, when converted weights exist.
+3. ``fid_vaefeat_*`` — SD-VAE encoder latents (``--vae-checkpoint`` /
    ``vae_checkpoint=`` pointing at the reference torch ``.ckpt``); ships
    with the model, so a learned-feature distance is always producible.
-3. ``fid_vaefeat_randominit_*`` — ``--allow-init-vae`` /
+4. ``fid_vaefeat_randominit_*`` — ``--allow-init-vae`` /
    ``allow_init_vae=true``: a seed-0 random-init VAE encoder (a fixed
    random projection). For smoke tests and relative comparisons only.
 """
@@ -43,8 +49,16 @@ def resolve_extractor(
     lpips_weights: Optional[Path],
     vae_checkpoint: Optional[Path],
     allow_init_vae: bool,
+    inception_weights: Optional[Path] = None,
 ) -> Tuple[Callable, str]:
     """(extractor, key_prefix) per the module-docstring resolution order."""
+    from ..evaluation.inception import inception_feature_extractor
+
+    extractor = inception_feature_extractor(inception_weights)
+    if extractor is not None:
+        print("FID extractor: InceptionV3 pool3 (FID convention) — "
+              "comparable to published FID/KID")
+        return extractor, "inception"
     extractor = vgg_feature_extractor(lpips_weights)
     if extractor is not None:
         return extractor, "vgg"
@@ -54,9 +68,10 @@ def resolve_extractor(
     if params is not None:
         return vae_feature_extractor(params), suffix
     raise SystemExit(
-        "No feature extractor available: provide converted LPIPS weights "
-        "(utils/lpips_convert.py), --vae-checkpoint <torch .ckpt>, or "
-        "--allow-init-vae / allow_init_vae=true."
+        "No feature extractor available: convert FID-Inception weights "
+        "(utils/inception_convert.py) or LPIPS weights "
+        "(utils/lpips_convert.py), or pass --vae-checkpoint <torch .ckpt> "
+        "or --allow-init-vae / allow_init_vae=true."
     )
 
 
@@ -70,7 +85,8 @@ def run_hydra(overrides) -> None:
             "'evaluation.methods=[{name: ours, key: ours, path: outputs/test}]'"
         )
     extractor, prefix = resolve_extractor(
-        cfg.lpips_weights, cfg.vae_checkpoint, cfg.allow_init_vae
+        cfg.lpips_weights, cfg.vae_checkpoint, cfg.allow_init_vae,
+        cfg.inception_weights,
     )
     fids = {}
     for method in cfg.evaluation.methods:
@@ -90,12 +106,17 @@ def run_argparse(argv) -> None:
     parser.add_argument("--dir-b", type=Path, required=True)
     parser.add_argument("--output", type=Path, default=Path("outputs/fid.json"))
     parser.add_argument("--lpips-weights", type=Path, default=None)
+    parser.add_argument("--inception-weights", type=Path, default=None,
+                        help="converted FID-Inception npz "
+                        "(utils/inception_convert.py); default "
+                        "assets/inception_fid.npz when present")
     parser.add_argument("--vae-checkpoint", type=Path, default=None)
     parser.add_argument("--allow-init-vae", action="store_true")
     args = parser.parse_args(argv)
 
     extractor, prefix = resolve_extractor(
-        args.lpips_weights, args.vae_checkpoint, args.allow_init_vae
+        args.lpips_weights, args.vae_checkpoint, args.allow_init_vae,
+        args.inception_weights,
     )
     results = fid_between_dirs(args.dir_a, args.dir_b, extractor)
     results["extractor"] = prefix

@@ -60,6 +60,10 @@ class ComputeMetricsCfg:
     fid_gt_dir: Path = Path("gt_images")
     limit_test_batches: Optional[int] = 32
     lpips_weights: Optional[Path] = None
+    # Converted FID-Inception weights (utils/inception_convert.py) -> the
+    # standard, published-comparable Inception-FID; default path
+    # assets/inception_fid.npz is probed when unset.
+    inception_weights: Optional[Path] = None
     # FID fallback extractors (scripts/compute_fid.py): SD-VAE encoder
     # features from the reference torch checkpoint, or a seed-0 random-init
     # VAE (smoke tests / relative comparisons only).
@@ -91,6 +95,7 @@ def run_hydra(overrides) -> None:
     computer = MetricComputer(
         cfg.evaluation, lpips_weights=cfg.lpips_weights,
         vae_params=vae_params, vae_feature_key=vae_key or "vaefeat",
+        inception_weights=cfg.inception_weights,
     )
     dm = build_data_module(cfg, StepTracker())
     results = computer.compute_over_dataset(
@@ -115,6 +120,9 @@ def run_argparse(argv) -> None:
     )
     parser.add_argument("--output", type=Path, default=Path("outputs/metrics.json"))
     parser.add_argument("--lpips-weights", type=Path, default=None)
+    parser.add_argument("--inception-weights", type=Path, default=None,
+                        help="converted FID-Inception npz "
+                        "(utils/inception_convert.py)")
     parser.add_argument("--vae-checkpoint", type=Path, default=None)
     parser.add_argument("--allow-init-vae", action="store_true")
     args = parser.parse_args(argv)
@@ -132,6 +140,7 @@ def run_argparse(argv) -> None:
     computer = MetricComputer(
         EvaluationCfg(methods=methods), args.gt_dir, args.lpips_weights,
         vae_params=vae_params, vae_feature_key=vae_key or "vaefeat",
+        inception_weights=args.inception_weights,
     )
     results = computer.compute()
     save_metrics_json(results, args.output)

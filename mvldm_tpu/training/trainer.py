@@ -428,12 +428,46 @@ class Trainer:
                 self.val_hook is not None
                 and self.val_check_interval
                 and new_step % self.val_check_interval == 0
-                and is_main_process()
-                # The val hook renders/samples process-locally and writes
-                # PNGs; run it once per job (reference rank_zero_only,
-                # diffusion_wrapper.py:492).
+                # All processes enter (the multi-host replica fetch is
+                # collective); only rank 0 renders/writes inside.
             ):
-                self.val_hook(state, new_step)
+                self._run_val_hook(state, new_step)
         if profiling:
             jax.profiler.stop_trace()
         return state
+
+    def _run_val_hook(self, state: TrainState, step: int) -> None:
+        """Run the validation hook with process-local, addressable params.
+
+        On multi-host the TrainState is globally sharded (ZeRO-1/FSDP leaves
+        are non-addressable on any single process), so rank-0-local sampling
+        on ``state.params`` would raise. Every process collectively reshards
+        params (+EMA) to fully-replicated and pulls its now-complete local
+        replica to host; only rank 0 then samples and writes — the reference's
+        rank-zero ``validation_step`` semantics (``diffusion_wrapper.py:492``)
+        made legal for a multi-controller runtime."""
+        if self.mesh is not None and jax.process_count() > 1:
+            repl = NamedSharding(self.mesh, P())
+
+            def fetch(tree):
+                if tree is None:
+                    return None
+                # Collective all-gather over the mesh (all processes call).
+                tree = jax.jit(lambda p: p, out_shardings=repl)(tree)
+                # Replicated arrays are addressable everywhere; hand the
+                # hook ordinary process-local arrays so its jit traces as
+                # plain local compute.
+                return jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(np.asarray(x.addressable_data(0))),
+                    tree,
+                )
+
+            state = TrainState(
+                params=fetch(state.params),
+                opt_state=None,  # hooks never touch optimizer moments
+                ema_params=fetch(state.ema_params),
+                step=jnp.asarray(step, jnp.int32),
+            )
+            if not is_main_process():
+                return
+        self.val_hook(state, step)

@@ -139,17 +139,17 @@ class StubDataModule:
         return StubLoader()
 
 
-def make_trainer(engine, vae_params, mesh, max_steps):
+def make_trainer(engine, vae_params, mesh, max_steps, subdir="", **kw):
     tx = build_optimizer(
         OptimizerCfg(name="AdamW", lr=1e-4, scale_lr=False),
         build_lr_schedule(1e-4, None),
         gradient_clip_val=0.1,
     )
     return Trainer(
-        engine, tx, StubDataModule(), Path(run_dir),
+        engine, tx, StubDataModule(), Path(run_dir) / subdir,
         vae_params=vae_params, max_steps=max_steps, num_context_views=2,
         checkpoint_every=3, log_every=1, mesh=mesh,
-        step_tracker=StepTracker(),
+        step_tracker=StepTracker(), **kw,
     )
 
 
@@ -178,10 +178,56 @@ for a, b in zip(
 state2 = trainer2.fit(state2, jax.random.PRNGKey(42))
 assert int(state2.step) == 5
 
-# Rank-guard check over the SHARED filesystem: log_every=1 over 5 total
-# steps -> exactly 5 JSONL lines; double that means rank 1 also wrote.
+# Phase 3: in-training validation on FSDP-sharded params. The TrainState's
+# parameter leaves are partitioned across processes (non-addressable on any
+# single one), the exact regime where a rank-0-local val hook would raise:
+# all processes must enter Trainer._run_val_hook's collective replica fetch,
+# and only rank 0 may execute the hook body (reference rank-zero
+# validation_step, diffusion_wrapper.py:492).
+val_calls: list = []
+
+
+def val_hook(vstate, step: int) -> None:
+    for leaf in jax.tree_util.tree_leaves(vstate.params):
+        assert leaf.is_fully_addressable, "hook saw non-addressable params"
+    eye4 = np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1))
+    eye4[:, 1, 0, 3] = 1.0
+    intr = np.tile(np.eye(3, dtype=np.float32), (1, 2, 1, 1))
+    intr[:, :, 0, 2] = intr[:, :, 1, 2] = 0.5
+    out = engine.sample(
+        vstate.params, vae_params,
+        jnp.zeros((1, 1, HW, HW, 3)), jnp.asarray(eye4), jnp.asarray(intr),
+        num_target_views=1, rng=jax.random.PRNGKey(7),
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    d = Path(run_dir) / "p3" / "val" / f"step_{step}"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "sample.npy").write_bytes(np.asarray(out).tobytes())
+    val_calls.append(step)
+
+
+trainer3 = make_trainer(
+    engine, vae_params, mesh, max_steps=1, subdir="p3",
+    val_hook=val_hook, val_check_interval=1,
+    shard_params=True, example_params=unet_params,
+)
+state3 = trainer3.init_state(unet_params)
+state3 = trainer3.fit(state3, jax.random.PRNGKey(43))
+assert int(np.asarray(state3.step.addressable_data(0))) == 1
+
 from mvldm_tpu.parallel.distributed import sync_processes
 
+sync_processes("val_hook_check")
+if is_main_process():
+    assert val_calls == [1], val_calls
+else:
+    assert val_calls == [], "val hook body ran on a non-zero rank"
+val_trees = sorted((Path(run_dir) / "p3" / "val").glob("step_*"))
+assert [p.name for p in val_trees] == ["step_1"], val_trees
+assert len(list(val_trees[0].iterdir())) == 1
+
+# Rank-guard check over the SHARED filesystem: log_every=1 over 5 total
+# steps -> exactly 5 JSONL lines; double that means rank 1 also wrote.
 sync_processes("final_check")
 lines = (Path(run_dir) / "metrics.jsonl").read_text().strip().splitlines()
 assert len(lines) == 5, f"expected 5 rank-0 log lines, found {len(lines)}"
