@@ -228,7 +228,11 @@ def bench_train() -> None:
     # read at trace time by the attention op itself; surfaced here only
     # for honest labeling of non-default runs.
     xla_bwd = os.environ.get("MVLDM_FLASH_BWD", "1") != "1"
-    kwargs = {"mu_dtype": "bfloat16"}
+    # MVLDM_TRAIN_BENCH_F32=1: full-f32 AdamW moments — the parity-exact
+    # baseline configuration (what the torch reference trains with).
+    f32 = os.environ.get("MVLDM_TRAIN_BENCH_F32", "0") == "1"
+    assert not (f32 and lp), "F32 and LP are mutually exclusive"
+    kwargs = {} if f32 else {"mu_dtype": "bfloat16"}
     if lp:
         kwargs["nu_dtype"] = "bfloat16"
     engine, unet_params, vae_params = build_flagship(
@@ -306,13 +310,14 @@ def bench_train() -> None:
             f"steps/s (batch {b}, 5 views, 256px, "
             f"{'no remat' if noremat else 'block remat'}"
             f"{f' policy={remat_policy}' if remat_policy else ''}, "
-            f"{'bf16 mu+nu' if lp else 'bf16 mu'}, AdamW"
+            f"{'f32 moments' if f32 else 'bf16 mu+nu' if lp else 'bf16 mu'}, "
+            "AdamW"
             f"{', latent-cache inputs' if latents else ''}"
             f"{', xla attn bwd' if xla_bwd else ''})"
         ),
     }
     if b in r3_steps_per_sec and not (
-        latents or noremat or remat_policy or xla_bwd
+        latents or noremat or remat_policy or xla_bwd or lp or f32
     ):
         # Latent-cache runs skip the ratio: r3 measured the image path, and
         # mixing protocols in one ratio is how r3's Weak #5 happened.
@@ -321,6 +326,60 @@ def bench_train() -> None:
         achieved = step_flops / dt
         record["achieved_tflops"] = round(achieved / 1e12, 1)
         record["mfu_vs_197tf_peak"] = round(achieved / 197e12, 3)
+    print(json.dumps(record))
+
+
+_TRAIN_KNOBS = (
+    "MVLDM_TRAIN_BENCH_BATCH", "MVLDM_TRAIN_BENCH_LP",
+    "MVLDM_TRAIN_BENCH_LATENTS", "MVLDM_TRAIN_BENCH_NOREMAT",
+    "MVLDM_TRAIN_BENCH_REMAT_POLICY", "MVLDM_TRAIN_BENCH_F32",
+    "MVLDM_FLASH_BWD",
+)
+
+
+def bench_train_pair() -> None:
+    """Bare ``python bench.py --train`` (no MVLDM_TRAIN_BENCH_* knobs):
+    measure BOTH production-relevant configurations at batch 8 in one run —
+    the parity-exact default (f32 AdamW moments, what the torch reference
+    trains with) and the ``+experiment=tpu_fast`` production preset (bf16
+    mu+nu storage with stochastic rounding) — and emit one JSON line pairing
+    them. Each cell runs in a subprocess so the two steps never share chip
+    memory. Set any knob to run a single labeled cell instead."""
+    import os
+    import subprocess
+
+    cells = {
+        "production_preset": {"MVLDM_TRAIN_BENCH_LP": "1"},
+        "parity_default": {"MVLDM_TRAIN_BENCH_F32": "1"},
+    }
+    results = {}
+    for name, env in cells.items():
+        proc = subprocess.run(
+            [sys.executable, __file__, "--train"],
+            env={**os.environ, "MVLDM_TRAIN_BENCH_BATCH": "8", **env},
+            capture_output=True, text=True,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            results[name] = {
+                "error": f"rc={proc.returncode}",
+                "stderr_tail": proc.stderr[-300:],
+            }
+        else:
+            results[name] = json.loads(lines[-1])
+    prod = results["production_preset"]
+    dflt = results["parity_default"]
+    record = {
+        "metric": "train_steps_per_sec_per_chip",
+        "value": prod.get("value"),
+        "unit": (prod.get("unit") or prod.get("error", ""))
+        + " [tpu_fast production preset]",
+        "parity_default_steps_per_sec": dflt.get("value"),
+        "parity_default_unit": dflt.get("unit") or dflt.get("error"),
+    }
+    for key in ("achieved_tflops", "mfu_vs_197tf_peak"):
+        if key in prod:
+            record[key] = prod[key]
     print(json.dumps(record))
 
 
@@ -430,7 +489,12 @@ if __name__ == "__main__":
     _require_live_backend()
     ar = "--autoregressive" in sys.argv[1:]
     if "--train" in sys.argv[1:]:
-        bench_train()
+        import os
+
+        if any(k in os.environ for k in _TRAIN_KNOBS):
+            bench_train()  # single labeled matrix cell
+        else:
+            bench_train_pair()  # default-vs-preset pairing at batch 8
     elif "--scene-batch" in sys.argv[1:]:
         bench_scene_batch(
             int(sys.argv[sys.argv.index("--scene-batch") + 1]),
