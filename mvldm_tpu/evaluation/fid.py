@@ -53,9 +53,13 @@ def frechet_distance(
     )
     if singular or not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean, _ = scipy.linalg.sqrtm(
-            (sigma1 + offset) @ (sigma2 + offset), disp=False
-        )
+        with warnings.catch_warnings():
+            # The regularized product can still be near-singular; its
+            # LinAlgWarning (and scipy's disp deprecation) must not leak.
+            warnings.simplefilter("ignore")
+            covmean, _ = scipy.linalg.sqrtm(
+                (sigma1 + offset) @ (sigma2 + offset), disp=False
+            )
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             raise ValueError(
