@@ -215,6 +215,7 @@ class TestEvaluationConfigSurface:
         assert set(per_scene["psnr"]) == {"scenetest0000", "scenetest0001"}
         assert "ours" in per_scene["psnr"]["scenetest0000"]
 
+    @pytest.mark.goldens
     def test_full_metric_set_with_fixture_weights(self, eval_setup, tmp_path):
         """With converted (fixture) VGG+DISTS weights, the Hydra surface
         produces psnr/ssim/lpips/dists AND the per-scene VGG-FID — the

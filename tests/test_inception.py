@@ -160,6 +160,7 @@ class TestInceptionFeatures:
         assert census["Mixed_7c.branch_pool.conv.weight"] == (192, 2048, 1, 1)
         assert census["Mixed_6a.branch3x3.conv.weight"] == (384, 288, 3, 3)
 
+    @pytest.mark.goldens
     def test_matches_torch_mirror(self):
         state = synth_state()
         images = np.random.default_rng(1).uniform(
@@ -183,6 +184,7 @@ class TestInceptionFeatures:
         with pytest.raises(KeyError, match="missing"):
             InceptionV3Features(state)
 
+    @pytest.mark.goldens
     def test_extractor_resolution(self, tmp_path):
         assert inception_feature_extractor(tmp_path / "nope.npz") is None
         path = tmp_path / "inception_fid.npz"
@@ -210,6 +212,7 @@ class TestConverter:
             state_dict_to_npz_dict(state)
 
 
+@pytest.mark.goldens
 class TestComputeFidResolution:
     def test_inception_preferred(self, tmp_path, capsys):
         from mvldm_tpu.scripts.compute_fid import resolve_extractor

@@ -24,6 +24,10 @@ import pytest
 from synthetic_data import write_synthetic_dataset
 from test_engine import make_batch, tiny_engine  # noqa: F401 (fixture)
 
+# The precompute fixture + bitwise-parity compiles dominate the default
+# suite (~4 min on a single-core host); full coverage runs with -m "".
+pytestmark = pytest.mark.slow
+
 from mvldm_tpu.config import DatasetCfg
 from mvldm_tpu.data.dataset_re10k import DatasetRE10k
 from mvldm_tpu.data.latent_cache import LatentCacheReader

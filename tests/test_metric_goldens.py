@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.goldens
+
 from mvldm_tpu.evaluation.metrics import DISTS, LPIPS, _VGG16Features
 
 

@@ -425,6 +425,7 @@ def test_timestep_embedding_golden():
     np.testing.assert_allclose(emb, mirror, atol=1e-6)
 
 
+@pytest.mark.goldens
 def test_full_unet_forward_parity(checkpoint):
     """Converted checkpoint + Flax MultiViewUNet == torch functional mirror
     of the full reference forward, per-view timesteps and all."""
@@ -447,6 +448,7 @@ def test_full_unet_forward_parity(checkpoint):
     np.testing.assert_allclose(out, expected, atol=3e-4)
 
 
+@pytest.mark.goldens
 def test_full_vae_encode_parity(checkpoint):
     ckpt, params = checkpoint
     x = torch.randn(2, 3, 64, 64) * 0.5
@@ -463,6 +465,7 @@ def test_full_vae_encode_parity(checkpoint):
     np.testing.assert_allclose(moments, expected, atol=3e-4)
 
 
+@pytest.mark.goldens
 def test_full_vae_decode_parity(checkpoint):
     ckpt, params = checkpoint
     z = torch.randn(2, 4, 8, 8)
