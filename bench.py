@@ -200,11 +200,13 @@ def make_train_batch(b: int, v: int = 5):
 
 
 def bench_train() -> None:
-    """``python bench.py --train``: flagship single-chip training throughput
-    (batch 1, 2 ctx + 3 tgt views, 256px, block remat + bf16 first moment —
-    the configuration that fits one 16G chip, BENCHMARKS.md) reported as
+    """One labeled training-matrix cell: flagship single-chip training
+    throughput (2 ctx + 3 tgt views at 256px; batch/moment-dtype/remat/
+    input-path selected by the MVLDM_TRAIN_BENCH_* knobs below) reported as
     steps/s plus achieved model TF/s and MFU from the compiled step's own
-    XLA flop count."""
+    XLA flop count. Invoked by ``--train`` when any knob is set; the bare
+    ``--train`` runs the default-vs-preset pairing instead
+    (``bench_train_pair``)."""
     from mvldm_tpu.config import OptimizerCfg
     from mvldm_tpu.training.optim import build_lr_schedule, build_optimizer
     from mvldm_tpu.training.trainer import TrainState, make_train_step
