@@ -382,6 +382,11 @@ def bench_train_pair() -> None:
         "parity_default_steps_per_sec": dflt.get("value"),
         "parity_default_unit": dflt.get("unit") or dflt.get("error"),
     }
+    # A failed cell's stderr tail is the only diagnosable evidence (e.g.
+    # rc=3 = backend probe abort when the tunnel flapped mid-pair).
+    for name, r in results.items():
+        if "error" in r and r.get("stderr_tail"):
+            record[f"{name}_stderr_tail"] = r["stderr_tail"]
     for key in ("achieved_tflops", "mfu_vs_197tf_peak"):
         if key in prod:
             record[key] = prod[key]
